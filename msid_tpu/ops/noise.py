@@ -1,0 +1,123 @@
+"""Fused on-device sensor-degradation simulator (the scientific core).
+
+Behavioral parity with the reference's `AddSensorNoise`
+(`/root/reference/src/data/transforms.py:70-154`): additive Gaussian,
+multiplicative speckle, per-(sample, band) dead-band dropout, wavelength-
+dependent thermal noise (linear 1.0→2.0 weight over the 13 bands so SWIR
+gets 2x), optional push-broom column striping, final clamp to [-3, 3].
+
+TPU-first differences from the reference:
+  * The reference ran this **per sample on the host** inside DataLoader
+    ``__getitem__`` with a Python loop over the batch for dead bands
+    (transforms.py:98-106). Here the whole batch corrupts in one fused XLA
+    region on device — vectorized Bernoulli over ``[B, C]``, one pass over
+    HBM for all five noise components.
+  * Randomness is explicit `jax.random` key threading → reproducible
+    training and (fixing reference defect: resampled val corruption,
+    dataloader.py:48-55) deterministic per-sample eval corruption.
+  * Striping gate is per-sample. In the reference this is one draw per
+    forward call, but since the reference applies the transform to single
+    samples from ``__getitem__``, per-sample gating *is* its effective
+    training-time behavior.
+
+Layout: NHWC ``[B, H, W, C]``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+CLAMP_LO = -3.0
+CLAMP_HI = 3.0
+
+
+@dataclasses.dataclass(frozen=True)
+class NoiseConfig:
+    """Static noise parameters (hashable → usable as a jit static arg).
+
+    Defaults mirror `configs/base.yaml:20-24` of the reference.
+    """
+
+    gaussian_sigma: float = 0.015
+    speckle_sigma: float = 0.008
+    dead_band_prob: float = 0.08
+    thermal_scale: float = 0.005
+    enable_striping: bool = False
+    stripe_prob: float = 0.1
+    stripe_sigma: float = 0.02
+
+    @classmethod
+    def from_config(cls, config: dict) -> "NoiseConfig":
+        """Build from the reference YAML schema (`noise:` section)."""
+        noise = config.get("noise", {})
+        return cls(
+            gaussian_sigma=float(noise.get("gaussian_sigma", 0.015)),
+            speckle_sigma=float(noise.get("speckle_sigma", 0.008)),
+            dead_band_prob=float(noise.get("dead_band_prob", 0.08)),
+            thermal_scale=float(
+                noise.get("thermal_noise_scale", noise.get("thermal_scale", 0.005))
+            ),
+            enable_striping=bool(noise.get("enable_striping", False)),
+            stripe_prob=float(noise.get("stripe_prob", 0.1)),
+            stripe_sigma=float(noise.get("stripe_sigma", 0.02)),
+        )
+
+
+def apply_sensor_noise(
+    key: jax.Array,
+    x: jnp.ndarray,
+    cfg: NoiseConfig = NoiseConfig(),
+) -> jnp.ndarray:
+    """Corrupt a clean NHWC batch ``[B, H, W, C]`` in one fused pass.
+
+    All five components compose exactly as in the reference forward
+    (transforms.py:88-128); computation in fp32, output cast back to the
+    input dtype after the final clamp.
+    """
+    b, h, w, c = x.shape
+    orig_dtype = x.dtype
+    out = x.astype(jnp.float32)
+
+    k_gauss, k_speckle, k_dead, k_thermal, k_stripe_gate, k_stripe = jax.random.split(key, 6)
+
+    if cfg.gaussian_sigma > 0:
+        out = out + jax.random.normal(k_gauss, x.shape, jnp.float32) * cfg.gaussian_sigma
+
+    if cfg.speckle_sigma > 0:
+        speckle = 1.0 + jax.random.normal(k_speckle, x.shape, jnp.float32) * cfg.speckle_sigma
+        out = out * speckle
+
+    if cfg.dead_band_prob > 0:
+        # Vectorized per-(sample, band) Bernoulli channel kill.
+        alive = jax.random.uniform(k_dead, (b, 1, 1, c)) >= cfg.dead_band_prob
+        out = out * alive.astype(jnp.float32)
+
+    if cfg.thermal_scale > 0:
+        thermal_weights = jnp.linspace(1.0, 2.0, c, dtype=jnp.float32).reshape(1, 1, 1, c)
+        out = out + (
+            jax.random.normal(k_thermal, x.shape, jnp.float32) * cfg.thermal_scale * thermal_weights
+        )
+
+    if cfg.enable_striping and cfg.stripe_prob > 0:
+        # Column offsets broadcast down the height axis (push-broom artifact).
+        gate = (
+            jax.random.uniform(k_stripe_gate, (b, 1, 1, 1)) < cfg.stripe_prob
+        ).astype(jnp.float32)
+        stripes = jax.random.normal(k_stripe, (b, 1, w, c), jnp.float32) * cfg.stripe_sigma
+        out = out + gate * stripes
+
+    out = jnp.clip(out, CLAMP_LO, CLAMP_HI)
+    return out.astype(orig_dtype)
+
+
+def sample_keys_for_epoch(
+    base_key: jax.Array, epoch: int, num_batches: int
+) -> jnp.ndarray:
+    """Deterministic per-batch corruption keys for an epoch: fold in the
+    epoch, then split per batch. Eval uses epoch=0 for fixed corruption."""
+    epoch_key = jax.random.fold_in(base_key, epoch)
+    return jax.random.split(epoch_key, num_batches)

@@ -1,0 +1,65 @@
+"""On-device preprocessing: raw 64×64×13 tiles → normalized 192×192×13.
+
+The reference did all of this **per sample on the host** inside DataLoader
+``__getitem__`` (`/root/reference/src/data/dataset.py:160-186`): heuristic
+range scaling, bilinear 64→192 upsample, clamp to [0,1], affine
+``(x-0.5)/0.25`` → ≈[-2, 2]. Here the host stops at raw tiles; the device
+receives 64×64×13 (9× less host→device traffic than shipping 192×192) and
+the whole chain runs inside the jitted step, fused by XLA with the noise
+simulator downstream.
+
+`jax.image.resize` with ``method='bilinear'`` uses half-pixel sampling —
+identical semantics to torch ``interpolate(mode='bilinear',
+align_corners=False)`` (dataset.py:170-175).
+
+Layout: NHWC.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def normalize_raw(x: jnp.ndarray) -> jnp.ndarray:
+    """Heuristic range scaling matching reference dataset.py:160-166.
+
+    Raw Sentinel-2 DN (max > 10) → /10000; 8-bit (max > 1.5) → /255;
+    already-[0,1] data passes through. The branch is data-dependent but
+    resolves to a `jnp.where` over precomputed scales — no host sync.
+    """
+    x = x.astype(jnp.float32)
+    m = jnp.max(x)
+    scale = jnp.where(m > 10.0, 1.0 / 10000.0, jnp.where(m > 1.5, 1.0 / 255.0, 1.0))
+    return x * scale
+
+
+def resize_bilinear(x: jnp.ndarray, target_size: int) -> jnp.ndarray:
+    """Bilinear resize of NHWC batch to (target_size, target_size)."""
+    b, h, w, c = x.shape
+    if h == target_size and w == target_size:
+        return x
+    return jax.image.resize(
+        x, (b, target_size, target_size, c), method="bilinear", antialias=False
+    )
+
+
+def to_model_range(x: jnp.ndarray) -> jnp.ndarray:
+    """clamp [0,1] then affine (x-0.5)/0.25 → ≈[-2,2] (dataset.py:177-186)."""
+    return (jnp.clip(x, 0.0, 1.0) - 0.5) * 4.0
+
+
+def preprocess_tiles(x: jnp.ndarray, target_size: int = 192) -> jnp.ndarray:
+    """Full clean-image preprocessing chain: scale → resize → model range.
+
+    Args:
+        x: raw NHWC tiles ``[B, 64, 64, 13]`` (any real dtype).
+    Returns:
+        fp32 ``[B, target_size, target_size, 13]`` in ≈[-2, 2].
+    """
+    return to_model_range(resize_bilinear(normalize_raw(x), target_size))
+
+
+def from_model_range(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse affine back to [0,1] reflectance for visualization/export."""
+    return jnp.clip(x.astype(jnp.float32) * 0.25 + 0.5, 0.0, 1.0)

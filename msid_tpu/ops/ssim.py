@@ -1,0 +1,116 @@
+"""Windowed SSIM as a fused XLA depthwise convolution (NHWC, TPU-friendly).
+
+Re-implements the reference's hand-rolled SSIM (11x11 Gaussian window,
+sigma=1.5, per-channel depthwise conv, C1/C2 from data_range=6.0 —
+`/root/reference/src/training/losses.py:109-163` and
+`/root/reference/src/training/metrics.py:49-121`) as a single
+`lax.conv_general_dilated` with ``feature_group_count = C``. All statistics
+are accumulated in fp32 regardless of input dtype: the variance terms
+(E[x^2] - E[x]^2) cancel catastrophically in bf16.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+DEFAULT_DATA_RANGE = 6.0  # normalized data spans ~[-3, 3]
+DEFAULT_WINDOW_SIZE = 11
+DEFAULT_SIGMA = 1.5
+
+
+@functools.lru_cache(maxsize=8)
+def _gaussian_window_1d(window_size: int, sigma: float) -> tuple:
+    """1-D Gaussian taps, normalized to sum 1 (reference losses.py:111-114).
+
+    Cached as a tuple so the jitted callers see a compile-time constant.
+    """
+    import numpy as np
+
+    x = np.arange(window_size, dtype=np.float64) - window_size // 2
+    g = np.exp(-(x**2) / (2.0 * sigma**2))
+    g = g / g.sum()
+    return tuple(g.astype(np.float32).tolist())
+
+
+def gaussian_window(window_size: int = DEFAULT_WINDOW_SIZE, sigma: float = DEFAULT_SIGMA) -> jnp.ndarray:
+    """[window, window] separable Gaussian kernel (outer product of 1-D taps)."""
+    g1 = jnp.asarray(_gaussian_window_1d(window_size, sigma), dtype=jnp.float32)
+    return jnp.outer(g1, g1)
+
+
+def _depthwise_filter(x: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise 'SAME' Gaussian filter over an NHWC tensor, fp32 accumulate."""
+    c = x.shape[-1]
+    # HWIO with I=1, O=C and feature_group_count=C → true depthwise conv.
+    kernel = jnp.broadcast_to(window[:, :, None, None], (*window.shape, 1, c))
+    return lax.conv_general_dilated(
+        x,
+        kernel.astype(jnp.float32),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def ssim_map(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    data_range: float = DEFAULT_DATA_RANGE,
+    window_size: int = DEFAULT_WINDOW_SIZE,
+    sigma: float = DEFAULT_SIGMA,
+) -> jnp.ndarray:
+    """Per-pixel/per-channel SSIM map for NHWC batches. Returns fp32 [B,H,W,C].
+
+    Matches the reference formula exactly, including its use of zero 'SAME'
+    padding rather than crop-to-valid (reference metrics.py:106-119).
+    """
+    img1 = img1.astype(jnp.float32)
+    img2 = img2.astype(jnp.float32)
+
+    window = gaussian_window(window_size, sigma)
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+
+    mu1 = _depthwise_filter(img1, window)
+    mu2 = _depthwise_filter(img2, window)
+
+    mu1_sq = mu1 * mu1
+    mu2_sq = mu2 * mu2
+    mu1_mu2 = mu1 * mu2
+
+    sigma1_sq = _depthwise_filter(img1 * img1, window) - mu1_sq
+    sigma2_sq = _depthwise_filter(img2 * img2, window) - mu2_sq
+    sigma12 = _depthwise_filter(img1 * img2, window) - mu1_mu2
+
+    numerator = (2.0 * mu1_mu2 + c1) * (2.0 * sigma12 + c2)
+    denominator = (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
+    return numerator / denominator
+
+
+def ssim(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    data_range: float = DEFAULT_DATA_RANGE,
+    window_size: int = DEFAULT_WINDOW_SIZE,
+    sigma: float = DEFAULT_SIGMA,
+) -> jnp.ndarray:
+    """Scalar mean SSIM over the whole batch (reference metrics.py:121)."""
+    return jnp.mean(ssim_map(img1, img2, data_range, window_size, sigma))
+
+
+def ssim_per_sample(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    data_range: float = DEFAULT_DATA_RANGE,
+    window_size: int = DEFAULT_WINDOW_SIZE,
+    sigma: float = DEFAULT_SIGMA,
+) -> jnp.ndarray:
+    """Per-sample mean SSIM, fp32 [B] (the MetricsTracker accumulation unit)."""
+    smap = ssim_map(img1, img2, data_range, window_size, sigma)
+    return jnp.mean(smap, axis=(1, 2, 3))

@@ -1,0 +1,23 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+This is the standard JAX fake-backend trick (SURVEY.md §4): pjit/shard_map
+logic is validated without a real TPU slice by forcing the host platform
+and splitting it into 8 virtual devices. Must run before jax is imported.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,136 @@
+"""Sensor-noise simulator property tests vs reference semantics
+(transforms.py:70-154): component variances, dead-band kill rate,
+clamp range, determinism, and preprocessing parity vs torch bilinear."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from msid_tpu.ops.noise import NoiseConfig, apply_sensor_noise
+from msid_tpu.ops.preprocess import (
+    from_model_range,
+    normalize_raw,
+    preprocess_tiles,
+    to_model_range,
+)
+
+
+def _key(i=0):
+    return jax.random.PRNGKey(i)
+
+
+def test_gaussian_only_variance():
+    cfg = NoiseConfig(gaussian_sigma=0.1, speckle_sigma=0.0, dead_band_prob=0.0, thermal_scale=0.0)
+    x = jnp.zeros((8, 32, 32, 13))
+    y = apply_sensor_noise(_key(), x, cfg)
+    assert np.std(np.asarray(y)) == pytest.approx(0.1, rel=0.05)
+
+
+def test_speckle_multiplicative():
+    cfg = NoiseConfig(gaussian_sigma=0.0, speckle_sigma=0.05, dead_band_prob=0.0, thermal_scale=0.0)
+    x = jnp.full((8, 32, 32, 13), 2.0)
+    y = apply_sensor_noise(_key(), x, cfg)
+    # x * (1 + N(0, 0.05)) → mean 2, std 2*0.05
+    assert np.mean(np.asarray(y)) == pytest.approx(2.0, abs=0.01)
+    assert np.std(np.asarray(y)) == pytest.approx(0.1, rel=0.05)
+    # zero input stays exactly zero under pure speckle
+    z = apply_sensor_noise(_key(1), jnp.zeros_like(x), cfg)
+    assert np.all(np.asarray(z) == 0.0)
+
+
+def test_dead_band_rate_and_whole_channel_kill():
+    cfg = NoiseConfig(gaussian_sigma=0.0, speckle_sigma=0.0, dead_band_prob=0.25, thermal_scale=0.0)
+    x = jnp.ones((64, 16, 16, 13))
+    y = np.asarray(apply_sensor_noise(_key(), x, cfg))
+    channel_dead = np.all(y == 0.0, axis=(1, 2))  # [B, C]
+    channel_alive = np.all(y == 1.0, axis=(1, 2))
+    # every channel is either fully dead or fully alive
+    assert np.all(channel_dead | channel_alive)
+    rate = channel_dead.mean()
+    assert rate == pytest.approx(0.25, abs=0.05)
+
+
+def test_thermal_wavelength_weighting():
+    cfg = NoiseConfig(gaussian_sigma=0.0, speckle_sigma=0.0, dead_band_prob=0.0, thermal_scale=0.1)
+    x = jnp.zeros((32, 32, 32, 13))
+    y = np.asarray(apply_sensor_noise(_key(), x, cfg))
+    stds = y.std(axis=(0, 1, 2))  # per-band
+    # linspace(1,2,13): band 0 → 0.1, band 12 → 0.2
+    assert stds[0] == pytest.approx(0.1, rel=0.1)
+    assert stds[12] == pytest.approx(0.2, rel=0.1)
+    assert np.all(np.diff(stds) > -0.01)  # monotone up the spectrum
+
+
+def test_striping_column_structure():
+    cfg = NoiseConfig(
+        gaussian_sigma=0.0, speckle_sigma=0.0, dead_band_prob=0.0, thermal_scale=0.0,
+        enable_striping=True, stripe_prob=1.0, stripe_sigma=0.02,
+    )
+    x = jnp.zeros((4, 32, 32, 13))
+    y = np.asarray(apply_sensor_noise(_key(), x, cfg))
+    # stripes are constant down each column
+    assert np.allclose(y, y[:, :1, :, :])
+    assert y.std() > 0
+
+
+def test_clamp_range():
+    cfg = NoiseConfig(gaussian_sigma=2.0)
+    x = jnp.full((4, 16, 16, 13), 2.5)
+    y = np.asarray(apply_sensor_noise(_key(), x, cfg))
+    assert y.max() <= 3.0 and y.min() >= -3.0
+
+
+def test_determinism_and_key_sensitivity():
+    cfg = NoiseConfig()
+    x = jnp.ones((2, 16, 16, 13))
+    a = apply_sensor_noise(_key(7), x, cfg)
+    b = apply_sensor_noise(_key(7), x, cfg)
+    c = apply_sensor_noise(_key(8), x, cfg)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_zero_config_is_identity():
+    cfg = NoiseConfig(0.0, 0.0, 0.0, 0.0, False)
+    x = jnp.asarray(np.random.default_rng(0).uniform(-2, 2, (2, 8, 8, 13)).astype(np.float32))
+    y = apply_sensor_noise(_key(), x, cfg)
+    assert np.allclose(np.asarray(y), np.asarray(x))
+
+
+# ---------------- preprocessing ----------------
+
+
+def test_normalize_raw_heuristics():
+    raw = jnp.full((1, 4, 4, 13), 5000.0)  # Sentinel-2 DN
+    assert float(normalize_raw(raw).max()) == pytest.approx(0.5)
+    # reference heuristic: max>10 → /10000 first, so the /255 branch only
+    # triggers for 1.5 < max <= 10 (dataset.py:162-165)
+    eight_bit_ish = jnp.full((1, 4, 4, 13), 5.0)
+    assert float(normalize_raw(eight_bit_ish).max()) == pytest.approx(5 / 255)
+    unit = jnp.full((1, 4, 4, 13), 0.5)
+    assert float(normalize_raw(unit).max()) == pytest.approx(0.5)
+
+
+def test_model_range_roundtrip():
+    x = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (2, 8, 8, 13)).astype(np.float32))
+    y = to_model_range(x)
+    assert float(y.min()) >= -2.0 and float(y.max()) <= 2.0
+    back = from_model_range(y)
+    assert np.allclose(np.asarray(back), np.asarray(x), atol=1e-6)
+
+
+def test_resize_matches_torch_bilinear():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(2)
+    tile = rng.uniform(0, 1, (2, 64, 64, 13)).astype(np.float32)
+    got = np.asarray(preprocess_tiles(jnp.asarray(tile), target_size=192))
+
+    t = torch.from_numpy(np.transpose(tile, (0, 3, 1, 2)))
+    want = torch.nn.functional.interpolate(
+        t, size=(192, 192), mode="bilinear", align_corners=False
+    )
+    want = (torch.clamp(want, 0, 1) - 0.5) / 0.25
+    want = np.transpose(want.numpy(), (0, 2, 3, 1))
+    assert np.allclose(got, want, atol=1e-4)
