@@ -1,0 +1,192 @@
+"""EuroSAT multi-spectral dataset: host-side tile loading + split.
+
+Capability parity with the reference loader
+(`/root/reference/src/data/dataset.py:29-240`) with one deliberate
+architectural difference: the host stops at **raw HWC tiles**
+(64×64×13). Range normalization, the 64→192 bilinear upsample, the
+[-2, 2] affine, and the sensor corruption all run on device inside the
+jitted step (see `msid_tpu.ops.preprocess` / `msid_tpu.ops.noise`) — 9×
+less host→device traffic and zero host preprocessing in the hot loop.
+
+Matching reference semantics:
+  * recursive ``*.tif`` glob with ``*.jpg``/``*.png`` fallback
+    (dataset.py:87-95);
+  * deterministic seeded 80/20 permutation split — **identical indices**
+    to the reference for the same seed (it uses
+    ``np.random.seed(seed); np.random.permutation(n)``, dataset.py:100-108);
+  * pad/truncate to 13 bands (dataset.py:151-158);
+  * grayscale→13-band replication for non-TIFF images (dataset.py:137-148);
+  * unreadable samples → zero tiles (dataset.py:131-134).
+
+Plus a synthetic procedural dataset for tests/benchmarks when no data is
+on disk.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from msid_tpu.data.tiff import read_tiff
+
+logger = logging.getLogger(__name__)
+
+NUM_BANDS = 13
+TILE_SIZE = 64
+
+
+def _reference_split(n: int, train_split: float, seed: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Bit-identical to the reference's split (dataset.py:100-108)."""
+    rng_state = np.random.get_state()
+    np.random.seed(seed)
+    indices = np.random.permutation(n)
+    np.random.set_state(rng_state)
+    split_idx = int(train_split * n)
+    return indices[:split_idx], indices[split_idx:]
+
+
+class EuroSATMultiSpectral:
+    """Indexable host-side dataset returning raw HWC float32 tiles."""
+
+    def __init__(
+        self,
+        root_dir: str | Path,
+        split: str = "train",
+        train_split: float = 0.8,
+        seed: int = 42,
+        num_bands: int = NUM_BANDS,
+        tile_size: int = TILE_SIZE,
+    ):
+        self.root_dir = Path(root_dir)
+        self.num_bands = num_bands
+        self.tile_size = tile_size
+
+        samples = sorted(self.root_dir.rglob("*.tif"))
+        if not samples:
+            samples = sorted(
+                list(self.root_dir.rglob("*.jpg")) + list(self.root_dir.rglob("*.png"))
+            )
+        if not samples:
+            raise FileNotFoundError(f"No image tiles found under {self.root_dir}")
+
+        train_idx, val_idx = _reference_split(len(samples), train_split, seed)
+        if split == "train":
+            self.samples: List[Path] = [samples[i] for i in train_idx]
+        elif split == "val":
+            self.samples = [samples[i] for i in val_idx]
+        else:
+            raise ValueError(f"Invalid split: {split}. Use 'train' or 'val'")
+        logger.info("%s split: %d samples", split.upper(), len(self.samples))
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        """Raw HWC float32 tile [tile, tile, num_bands] (un-normalized)."""
+        path = self.samples[idx]
+        try:
+            if path.suffix.lower() in (".tif", ".tiff"):
+                img = read_tiff(path).astype(np.float32)
+            else:
+                from PIL import Image
+
+                gray = np.asarray(Image.open(path).convert("L"), dtype=np.float32)
+                img = np.repeat(gray[:, :, None], self.num_bands, axis=2)
+        except Exception as e:  # unreadable → zeros (reference behavior)
+            logger.error("Error reading %s: %s", path, e)
+            return np.zeros((self.tile_size, self.tile_size, self.num_bands), np.float32)
+
+        if img.ndim == 2:
+            img = img[:, :, None]
+        c = img.shape[2]
+        if c < self.num_bands:
+            pad = np.zeros((*img.shape[:2], self.num_bands - c), img.dtype)
+            img = np.concatenate([img, pad], axis=2)
+        elif c > self.num_bands:
+            img = img[:, :, : self.num_bands]
+        return np.ascontiguousarray(img, dtype=np.float32)
+
+    def compute_statistics(self, num_samples: int = 1000) -> dict:
+        """Per-band mean/std over up to num_samples tiles (dataset.py:196-240)."""
+        n = min(num_samples, len(self))
+        mean = np.zeros(self.num_bands, np.float64)
+        std = np.zeros(self.num_bands, np.float64)
+        count = 0
+        for i in range(n):
+            img = self[i]
+            mean += img.mean(axis=(0, 1))
+            std += img.std(axis=(0, 1))
+            count += 1
+        if count == 0:
+            raise ValueError("No valid samples for statistics")
+        return {"mean": mean / count, "std": std / count}
+
+
+class SyntheticEuroSAT:
+    """Procedural stand-in dataset: smooth correlated multi-band fields.
+
+    Deterministic per (seed, index); spectral bands are correlated low-pass
+    random fields scaled into the Sentinel-2 DN range so the full
+    normalize→corrupt→restore path exercises realistically.
+    """
+
+    def __init__(
+        self,
+        num_samples: int = 512,
+        split: str = "train",
+        train_split: float = 0.8,
+        seed: int = 42,
+        num_bands: int = NUM_BANDS,
+        tile_size: int = TILE_SIZE,
+    ):
+        self.num_bands = num_bands
+        self.tile_size = tile_size
+        self.seed = seed
+        train_idx, val_idx = _reference_split(num_samples, train_split, seed)
+        self.indices = train_idx if split == "train" else val_idx
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        gidx = int(self.indices[idx])
+        rng = np.random.default_rng(self.seed * 1_000_003 + gidx)
+        t = self.tile_size
+        # low-frequency base field: random coarse grid, bilinear-upsampled
+        coarse = rng.normal(size=(t // 8, t // 8))
+        base = np.kron(coarse, np.ones((8, 8)))
+        # smooth
+        for axis in (0, 1):
+            base = (np.roll(base, 1, axis) + base + np.roll(base, -1, axis)) / 3.0
+        base = (base - base.min()) / (np.ptp(base) + 1e-9)
+        # per-band gain/offset with spectral correlation + band-specific texture
+        bands = []
+        for b in range(self.num_bands):
+            gain = 0.6 + 0.4 * np.sin(0.5 * b + rng.uniform(0, 0.3))
+            texture = rng.normal(scale=0.03, size=(t, t))
+            band = np.clip(base * gain + texture + 0.1, 0, 1)
+            bands.append(band)
+        img = np.stack(bands, axis=-1) * 10000.0  # Sentinel-2 DN range
+        return img.astype(np.float32)
+
+
+def build_dataset(config: dict, split: str):
+    """Dataset factory honoring `data.synthetic_fallback`."""
+    data_cfg = config.get("data", {})
+    root = Path(data_cfg.get("root_dir", "./data/EuroSAT_MS"))
+    kwargs = dict(
+        train_split=float(data_cfg.get("train_split", 0.8)),
+        seed=int(config.get("seed", 42)),
+        num_bands=int(data_cfg.get("num_bands", NUM_BANDS)),
+    )
+    try:
+        return EuroSATMultiSpectral(root, split=split, **kwargs)
+    except FileNotFoundError:
+        if data_cfg.get("synthetic_fallback", True):
+            logger.warning("Dataset not found at %s — using synthetic tiles", root)
+            n = int(data_cfg.get("synthetic_samples", 512))
+            return SyntheticEuroSAT(n, split=split, **kwargs)
+        raise

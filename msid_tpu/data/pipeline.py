@@ -1,0 +1,137 @@
+"""Host input pipeline: batched tile feeding with background prefetch.
+
+Replaces the reference's torch DataLoader (`src/data/dataloader.py:18-121`,
+which ran with ``num_workers: 0`` — fully synchronous host preprocessing).
+Here the host work is only: read raw tiles, stack, hand to the device.
+A small thread pool overlaps tile reads with device compute; corruption
+and resize are NOT done here (they're on-device, see ops/).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class BatchLoader:
+    """Iterates seeded, shuffled batches of raw tiles as numpy arrays.
+
+    Args:
+        dataset: indexable returning HWC float32 tiles.
+        batch_size: tiles per batch (= accum_steps × micro_batch for train).
+        shuffle: reshuffle each epoch (seeded, deterministic).
+        drop_last: drop the trailing partial batch (train default — keeps
+            shapes static for jit, reference dataloader.py:58-66).
+        prefetch: number of batches to stage in a background thread.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        prefetch: int = 2,
+        pad_last: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self.pad_last = pad_last
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed * 100_003 + self.epoch)
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def _make_batch(self, idxs: np.ndarray) -> np.ndarray:
+        tiles = [self.dataset[int(i)] for i in idxs]
+        batch = np.stack(tiles, axis=0)
+        if self.pad_last and batch.shape[0] < self.batch_size:
+            # pad by repeating the first tile; caller masks via true count
+            pad = np.repeat(batch[:1], self.batch_size - batch.shape[0], axis=0)
+            batch = np.concatenate([batch, pad], axis=0)
+        return batch
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        indices = self._indices()
+        n_batches = len(self)
+        self.epoch += 1
+
+        if self.prefetch <= 0:
+            for b in range(n_batches):
+                yield self._make_batch(indices[b * self.batch_size : (b + 1) * self.batch_size])
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for b in range(n_batches):
+                    q.put(
+                        self._make_batch(
+                            indices[b * self.batch_size : (b + 1) * self.batch_size]
+                        )
+                    )
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+
+
+def get_dataloaders(config: dict):
+    """(train_loader, val_loader) from config — reference dataloader.py:18-84
+    surface. Train batch = accum_steps × micro_batch (the jitted step scans
+    the accumulation axis on device)."""
+    from msid_tpu.data.dataset import build_dataset
+
+    training = config.get("training", {})
+    micro = int(training.get("micro_batch_size", 8))
+    accum = int(training.get("gradient_accumulation_steps", 1))
+    seed = int(config.get("seed", 42))
+
+    train_ds = build_dataset(config, "train")
+    val_ds = build_dataset(config, "val")
+    train_loader = BatchLoader(
+        train_ds, batch_size=micro * accum, shuffle=True, drop_last=True, seed=seed
+    )
+    val_loader = BatchLoader(
+        val_ds, batch_size=micro * accum, shuffle=False, drop_last=True,
+        seed=seed,
+    )
+    return train_loader, val_loader
+
+
+def get_test_dataloader(config: dict, batch_size: Optional[int] = None):
+    """Full-split loader without corruption keys (reference dataloader.py:86-121)."""
+    from msid_tpu.data.dataset import build_dataset
+
+    cfg = dict(config)
+    cfg["data"] = dict(config.get("data", {}), train_split=1.0)
+    ds = build_dataset(cfg, "train")
+    bs = batch_size or int(config.get("training", {}).get("micro_batch_size", 8))
+    return BatchLoader(ds, batch_size=bs, shuffle=False, drop_last=False, pad_last=True)

@@ -1,0 +1,21 @@
+"""Deployment layer: StableHLO export, verification, AOT inference sessions."""
+
+from msid_tpu.deployment.export import (
+    ComparisonResult,
+    compare_live_vs_exported,
+    export_stablehlo,
+    load_exported,
+    make_inference_fn,
+    verify_exported_model,
+)
+from msid_tpu.deployment.inference import InferenceSession
+
+__all__ = [
+    "ComparisonResult",
+    "InferenceSession",
+    "compare_live_vs_exported",
+    "export_stablehlo",
+    "load_exported",
+    "make_inference_fn",
+    "verify_exported_model",
+]

@@ -1,0 +1,25 @@
+"""Parallelism layer: mesh construction, shardings, distributed init."""
+
+from msid_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharded,
+    make_mesh,
+    make_mesh_from_config,
+    pad_batch_to_multiple,
+    replicate,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "batch_sharded",
+    "make_mesh",
+    "make_mesh_from_config",
+    "pad_batch_to_multiple",
+    "replicate",
+    "replicated",
+    "shard_batch",
+]

@@ -1,0 +1,65 @@
+"""Standalone model evaluation (reference `src/training/eval.py:12-70`).
+
+Runs the jitted eval step over a loader with deterministic per-batch
+corruption keys and prints/returns averaged PSNR/SSIM/SAM/RMSE.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from msid_tpu.ops.noise import NoiseConfig
+from msid_tpu.training.losses import LossConfig
+from msid_tpu.training.train_state import make_eval_step
+
+logger = logging.getLogger(__name__)
+
+
+def evaluate_model(
+    model,
+    variables: dict,
+    loader,
+    loss_cfg: Optional[LossConfig] = None,
+    noise_cfg: Optional[NoiseConfig] = None,
+    image_size: Optional[int] = None,
+    eval_seed: int = 1234,
+    verbose: bool = True,
+) -> dict:
+    """Evaluate over a loader; one host sync total. Returns metric dict."""
+    eval_step = make_eval_step(
+        model,
+        loss_cfg or LossConfig(),
+        noise_cfg or NoiseConfig(),
+        image_size=image_size or model.image_size,
+    )
+    sums = None
+    base = jax.random.PRNGKey(eval_seed)
+    for i, batch in enumerate(loader):
+        key = jax.random.fold_in(base, i)
+        s = eval_step(variables, jnp.asarray(batch), key)
+        sums = s if sums is None else jax.tree_util.tree_map(jnp.add, sums, s)
+    if sums is None:
+        return {"loss": 0.0, "psnr": 0.0, "ssim": 0.0, "sam": 0.0, "rmse": 0.0}
+    host = jax.device_get(sums)
+    count = max(float(host["count"]), 1.0)
+    results = {
+        "loss": float(host["loss"]) / count,
+        "psnr": float(host["psnr"]) / count,
+        "ssim": float(host["ssim"]) / count,
+        "sam": float(host["sam"]) / count,
+        "rmse": float(host["rmse"]) / count,
+        "num_samples": int(count),
+    }
+    if verbose:
+        logger.info("=" * 50)
+        logger.info("Evaluation results (%d samples):", results["num_samples"])
+        logger.info("  PSNR: %.2f dB", results["psnr"])
+        logger.info("  SSIM: %.4f", results["ssim"])
+        logger.info("  SAM:  %.2f°", results["sam"])
+        logger.info("  RMSE: %.4f", results["rmse"])
+        logger.info("=" * 50)
+    return results

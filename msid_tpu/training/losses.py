@@ -1,0 +1,114 @@
+"""Restoration losses (pure functions, jit/fused on device).
+
+Parity with the reference loss stack
+(`/root/reference/src/training/losses.py:16-277`):
+
+  * `combined_loss` = mse_weight·MSE + ssim_weight·(1−SSIM) with
+    data_range 6.0 and the 11×11 σ=1.5 depthwise Gaussian SSIM window
+    (losses.py:55-77, 109-163). SSIM statistics accumulate in fp32 even
+    under bf16 training (the variance terms cancel catastrophically in
+    half precision — the reference needed the same care under AMP).
+  * `l1_loss` (losses.py:192-202).
+  * `edge_perceptual_loss` — the TPU-native stand-in for the reference's
+    optional VGG16 `PerceptualLoss` (losses.py:205-277, off by default via
+    ``perceptual_weight: 0.0``). Pretrained VGG is unavailable without
+    torch on the TPU path, so this uses fixed multi-scale Sobel edge
+    responses on the first 3 bands — a deterministic structural feature
+    loss with the same config surface.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+from jax import lax
+
+from msid_tpu.ops.ssim import DEFAULT_DATA_RANGE, ssim
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    mse_weight: float = 1.0
+    ssim_weight: float = 0.1
+    perceptual_weight: float = 0.0
+    data_range: float = DEFAULT_DATA_RANGE
+
+    @classmethod
+    def from_config(cls, config: dict) -> "LossConfig":
+        loss = config.get("training", {}).get("loss", {})
+        return cls(
+            mse_weight=float(loss.get("mse_weight", 1.0)),
+            ssim_weight=float(loss.get("ssim_weight", 0.1)),
+            perceptual_weight=float(loss.get("perceptual_weight", 0.0)),
+        )
+
+
+def mse_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    d = pred.astype(jnp.float32) - target.astype(jnp.float32)
+    return jnp.mean(d * d)
+
+
+def l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32)))
+
+
+def ssim_loss(
+    pred: jnp.ndarray, target: jnp.ndarray, data_range: float = DEFAULT_DATA_RANGE
+) -> jnp.ndarray:
+    """1 − mean SSIM (reference losses.py:165-189)."""
+    return 1.0 - ssim(pred, target, data_range)
+
+
+_SOBEL_X = jnp.asarray([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32) / 8.0
+_SOBEL_Y = _SOBEL_X.T
+
+
+def _edges(x: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise Sobel magnitude over NHWC (fp32)."""
+    c = x.shape[-1]
+    kx = jnp.broadcast_to(_SOBEL_X[:, :, None, None], (3, 3, 1, c))
+    ky = jnp.broadcast_to(_SOBEL_Y[:, :, None, None], (3, 3, 1, c))
+    args = dict(
+        window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c, preferred_element_type=jnp.float32,
+    )
+    gx = lax.conv_general_dilated(x, kx, **args)
+    gy = lax.conv_general_dilated(x, ky, **args)
+    return jnp.sqrt(gx * gx + gy * gy + 1e-12)
+
+
+def edge_perceptual_loss(pred: jnp.ndarray, target: jnp.ndarray, scales: int = 3) -> jnp.ndarray:
+    """Multi-scale edge-response MSE on the first 3 bands (VGG stand-in)."""
+    p = pred[..., :3].astype(jnp.float32)
+    t = target[..., :3].astype(jnp.float32)
+    total = jnp.float32(0.0)
+    for s in range(scales):
+        total = total + mse_loss(_edges(p), _edges(t))
+        if s + 1 < scales:
+            b, h, w, c = p.shape
+            p = jnp.mean(p.reshape(b, h // 2, 2, w // 2, 2, c), axis=(2, 4))
+            t = jnp.mean(t.reshape(b, h // 2, 2, w // 2, 2, c), axis=(2, 4))
+    return total / scales
+
+
+def combined_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    cfg: LossConfig = LossConfig(),
+) -> tuple[jnp.ndarray, dict]:
+    """Weighted MSE + (1−SSIM) [+ perceptual]; returns (scalar, components)."""
+    mse = mse_loss(pred, target)
+    total = cfg.mse_weight * mse
+    aux = {"mse": mse}
+    if cfg.ssim_weight > 0:
+        s = ssim_loss(pred, target, cfg.data_range)
+        aux["ssim_loss"] = s
+        total = total + cfg.ssim_weight * s
+    if cfg.perceptual_weight > 0:
+        p = edge_perceptual_loss(pred, target)
+        aux["perceptual"] = p
+        total = total + cfg.perceptual_weight * p
+    aux["total"] = total
+    return total, aux

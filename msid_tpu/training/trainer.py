@@ -1,0 +1,264 @@
+"""Host-side training driver: epochs, validation, checkpoints, early stop.
+
+Capability parity with the reference `Trainer`
+(`/root/reference/src/training/trainer.py:25-510`): epoch loop with
+gradient accumulation, NaN-skip protection with per-epoch abort threshold,
+per-epoch validation, history dict, dual best-model tracking, early
+stopping on metric plateau, KeyboardInterrupt-safe fit, checkpoint
+save/resume.
+
+TPU-first differences:
+  * the entire batch→loss→grads→update path is ONE jitted call
+    (`make_train_step`) — the host only feeds raw tiles and PRNG keys;
+  * train metrics stay on device during the epoch (a list of device
+    scalars) and sync once at epoch end; validation uses on-device metric
+    sums (no per-sample `.item()`, reference trainer.py:280 / metrics.py:236-256);
+  * validation corruption is deterministic per (eval_seed, batch index) —
+    fixing reference defect #4 (resampled val noise each epoch);
+  * best-by-loss and best-by-metric are tracked separately — fixing
+    reference defect #2 (trainer.py:423 compared loss to a PSNR).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msid_tpu.ops.noise import NoiseConfig
+from msid_tpu.training.losses import LossConfig
+from msid_tpu.training.train_state import TrainState, make_eval_step, make_train_step
+
+logger = logging.getLogger(__name__)
+
+MAX_NAN_SKIPS_PER_EPOCH = 10  # reference trainer.py:165-170
+
+
+class Trainer:
+    """Drives training of a restoration model on one chip or a mesh."""
+
+    def __init__(
+        self,
+        model,
+        tx,
+        state: TrainState,
+        config: Optional[dict] = None,
+        loss_cfg: Optional[LossConfig] = None,
+        noise_cfg: Optional[NoiseConfig] = None,
+        checkpoint_manager=None,
+        lr_schedule: Optional[Callable] = None,
+        train_step: Optional[Callable] = None,
+        eval_step: Optional[Callable] = None,
+        seed: int = 42,
+        eval_seed: int = 1234,
+        log_every: int = 50,
+    ):
+        config = config or {}
+        training = config.get("training", {})
+        self.model = model
+        self.tx = tx
+        self.state = state
+        self.config = config
+        self.loss_cfg = loss_cfg or LossConfig.from_config(config)
+        self.noise_cfg = noise_cfg or NoiseConfig.from_config(config)
+        self.ckpt = checkpoint_manager
+        self.lr_schedule = lr_schedule
+        self.seed = seed
+        self.eval_seed = eval_seed
+        self.log_every = log_every
+
+        image_size = int(config.get("data", {}).get("image_size", model.image_size))
+        accum = int(training.get("gradient_accumulation_steps", 1))
+        self.accum_steps = accum
+
+        self.train_step = train_step or make_train_step(
+            model, tx, self.loss_cfg, self.noise_cfg,
+            accum_steps=accum, image_size=image_size,
+        )
+        self.eval_step = eval_step or make_eval_step(
+            model, self.loss_cfg, self.noise_cfg, image_size=image_size
+        )
+
+        es = config.get("early_stopping", {})
+        self.early_stopping_enabled = bool(es.get("enabled", False))
+        self.patience = int(es.get("patience", 10))
+        self.min_delta = float(es.get("min_delta", 0.1))
+
+        self.history: Dict[str, list] = {
+            "train_loss": [], "val_loss": [], "val_psnr": [], "val_ssim": [],
+            "val_sam": [], "val_rmse": [], "lr": [], "epoch_time": [],
+        }
+        self.best_val_loss = float("inf")
+        self.best_val_metric = float("-inf")  # PSNR, higher better
+        self.epochs_without_improvement = 0
+
+    # ---------------- epoch-level ----------------
+
+    def train_epoch(self, loader, epoch: int) -> Dict[str, float]:
+        """One epoch; returns {'loss','skipped','steps'}. Metrics stay on
+        device until the end-of-epoch sync."""
+        base_key = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch)
+        skips_at_start = int(jax.device_get(self.state.nan_skips))
+        losses = []
+        t0 = time.time()
+        for i, batch in enumerate(loader):
+            key = jax.random.fold_in(base_key, i)
+            self.state, metrics = self.train_step(self.state, jnp.asarray(batch), key)
+            losses.append(metrics["loss"])
+
+            if self.log_every and (i + 1) % self.log_every == 0:
+                loss_val = float(jax.device_get(metrics["loss"]))
+                logger.info(
+                    "epoch %d batch %d/%d loss=%.5f (%.2f batch/s)",
+                    epoch, i + 1, len(loader), loss_val, (i + 1) / (time.time() - t0),
+                )
+
+            skips = int(jax.device_get(self.state.nan_skips)) - skips_at_start
+            if skips > MAX_NAN_SKIPS_PER_EPOCH:
+                raise RuntimeError(
+                    f"Aborting epoch {epoch}: {skips} non-finite batches "
+                    f"(> {MAX_NAN_SKIPS_PER_EPOCH}). Check LR / data health."
+                )
+
+        losses = jax.device_get(losses)  # single bulk sync
+        skipped = int(jax.device_get(self.state.nan_skips)) - skips_at_start
+        return {
+            "loss": float(np.mean(losses)) if losses else 0.0,
+            "skipped": skipped,
+            "steps": len(losses),
+        }
+
+    def validate(self, loader) -> Dict[str, float]:
+        """Deterministically-corrupted validation; one host sync total."""
+        sums = None
+        variables = self.state.variables
+        eval_base = jax.random.PRNGKey(self.eval_seed)
+        for i, batch in enumerate(loader):
+            key = jax.random.fold_in(eval_base, i)
+            s = self.eval_step(variables, jnp.asarray(batch), key)
+            sums = s if sums is None else jax.tree_util.tree_map(jnp.add, sums, s)
+        if sums is None:
+            return {"loss": 0.0, "psnr": 0.0, "ssim": 0.0, "sam": 0.0, "rmse": 0.0}
+        host = jax.device_get(sums)
+        count = max(float(host["count"]), 1.0)
+        return {
+            "loss": float(host["loss"]) / count,
+            "psnr": float(host["psnr"]) / count,
+            "ssim": float(host["ssim"]) / count,
+            "sam": float(host["sam"]) / count,
+            "rmse": float(host["rmse"]) / count,
+        }
+
+    # ---------------- fit ----------------
+
+    def fit(self, train_loader, val_loader, epochs: int,
+            start_epoch: int = 0) -> Dict[str, list]:
+        """Full training loop. Returns the history dict (reference
+        trainer.py:370-492), robust to KeyboardInterrupt."""
+        try:
+            for epoch in range(start_epoch, epochs):
+                t0 = time.time()
+                train_m = self.train_epoch(train_loader, epoch)
+                val_m = self.validate(val_loader)
+                dt = time.time() - t0
+
+                lr = (
+                    float(self.lr_schedule(int(jax.device_get(self.state.step))))
+                    if self.lr_schedule is not None else float("nan")
+                )
+                self.history["train_loss"].append(train_m["loss"])
+                self.history["val_loss"].append(val_m["loss"])
+                self.history["val_psnr"].append(val_m["psnr"])
+                self.history["val_ssim"].append(val_m["ssim"])
+                self.history["val_sam"].append(val_m["sam"])
+                self.history["val_rmse"].append(val_m["rmse"])
+                self.history["lr"].append(lr)
+                self.history["epoch_time"].append(dt)
+
+                logger.info(
+                    "epoch %d/%d: train_loss=%.5f val_loss=%.5f "
+                    "val_psnr=%.2fdB val_ssim=%.4f val_sam=%.2f° "
+                    "lr=%.2e skipped=%d (%.1fs)",
+                    epoch + 1, epochs, train_m["loss"], val_m["loss"],
+                    val_m["psnr"], val_m["ssim"], val_m["sam"],
+                    lr, train_m["skipped"], dt,
+                )
+
+                improved_metric = val_m["psnr"] > self.best_val_metric + (
+                    self.min_delta if self.early_stopping_enabled else 0.0
+                )
+                if val_m["loss"] < self.best_val_loss:
+                    self.best_val_loss = val_m["loss"]
+                if val_m["psnr"] > self.best_val_metric:
+                    self.best_val_metric = val_m["psnr"]
+
+                if self.ckpt is not None:
+                    metrics = {
+                        "val_loss": val_m["loss"], "val_psnr": val_m["psnr"],
+                        "val_ssim": val_m["ssim"], "val_sam": val_m["sam"],
+                    }
+                    self.ckpt.save(
+                        epoch + 1, self.state, metrics=metrics,
+                        metadata={"epoch": epoch + 1, "history": self.history,
+                                  "config": _jsonable(self.config)},
+                        force=(epoch + 1 == epochs),
+                    )
+
+                if self.early_stopping_enabled:
+                    if improved_metric:
+                        self.epochs_without_improvement = 0
+                    else:
+                        self.epochs_without_improvement += 1
+                        if self.epochs_without_improvement >= self.patience:
+                            logger.info(
+                                "Early stopping at epoch %d (no val_psnr "
+                                "improvement > %.3f for %d epochs)",
+                                epoch + 1, self.min_delta, self.patience,
+                            )
+                            break
+        except KeyboardInterrupt:
+            logger.warning("Training interrupted — returning partial history")
+        return self.history
+
+    # ---------------- resume ----------------
+
+    def load_checkpoint(self, manager=None, step: Optional[int] = None,
+                        best: bool = False) -> int:
+        """Restore state (+epoch) from a CheckpointManager. Returns the epoch
+        to resume from (0 if nothing found)."""
+        manager = manager or self.ckpt
+        if manager is None:
+            return 0
+        if step is not None:
+            out = manager.load_step(step, target=self.state)
+        elif best:
+            out = manager.load_best(target=self.state)
+        else:
+            out = manager.load_latest(target=self.state)
+        if out is None:
+            return 0
+        state, metadata, ckpt_step = out
+        self.state = state
+        history = (metadata or {}).get("history")
+        if history:
+            self.history = history
+            if history.get("val_loss"):
+                self.best_val_loss = min(history["val_loss"])
+            if history.get("val_psnr"):
+                self.best_val_metric = max(history["val_psnr"])
+        return int((metadata or {}).get("epoch", ckpt_step))
+
+
+def _jsonable(obj):
+    """Best-effort conversion of a config dict to JSON-safe values."""
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, (str, int, float, bool)) or obj is None:
+        return obj
+    return str(obj)

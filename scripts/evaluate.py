@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Evaluation CLI — surface mirrors the reference
+(`/root/reference/scripts/evaluate.py:28-34`): --config / --checkpoint /
+--save_visualizations, running the val split through the jitted eval path
+with deterministic corruption.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate a trained denoiser (TPU)")
+    p.add_argument("--config", type=str, default="configs/base.yaml")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="checkpoint directory (Orbax manager root)")
+    p.add_argument("--save_visualizations", action="store_true")
+    p.add_argument("--output-dir", type=str, default="outputs")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--device", type=str, default=None, help="jax platform override (tpu/cpu)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.device:
+        import os
+
+        # sitecustomize may have imported jax already; config.update wins
+        # as long as no backend has been initialized yet.
+        os.environ["JAX_PLATFORMS"] = args.device
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", args.device)
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s: %(message)s")
+    logger = logging.getLogger("evaluate")
+
+    import jax
+    import jax.numpy as jnp
+
+    from msid_tpu.data import get_dataloaders
+    from msid_tpu.models import SatMAERestoration, init_model
+    from msid_tpu.training import evaluate_model
+    from msid_tpu.utils.checkpointing import CheckpointManager
+    from msid_tpu.utils.config import coerce_scheduler_params, load_config
+
+    config = coerce_scheduler_params(load_config(args.config))
+    config["model"]["encoder"]["pretrained_path"] = None  # reference evaluate.py:50-52
+    if args.synthetic:
+        config.setdefault("data", {})["root_dir"] = "/nonexistent-forces-synthetic"
+
+    compute_dtype = (
+        jnp.bfloat16 if config.get("training", {}).get("mixed_precision", True)
+        else jnp.float32
+    )
+    model = SatMAERestoration.from_config(config, dtype=compute_dtype)
+    variables = init_model(model, jax.random.PRNGKey(int(config.get("seed", 42))))
+
+    if args.checkpoint:
+        from msid_tpu.training import TrainState, build_optimizer_from_config
+
+        tx, _ = build_optimizer_from_config(config, variables["params"])
+        target = TrainState.create(variables, tx)
+        mgr = CheckpointManager(args.checkpoint)
+        out = mgr.load_best(target=target) or mgr.load_latest(target=target)
+        if out is None:
+            raise FileNotFoundError(f"No checkpoint found under {args.checkpoint}")
+        state, _, step = out
+        variables = state.variables
+        logger.info("Restored checkpoint step %d from %s", step, args.checkpoint)
+
+    _, val_loader = get_dataloaders(config)
+    from msid_tpu.ops.noise import NoiseConfig
+    from msid_tpu.training.losses import LossConfig
+
+    results = evaluate_model(
+        model, variables, val_loader,
+        loss_cfg=LossConfig.from_config(config),
+        noise_cfg=NoiseConfig.from_config(config),
+        image_size=int(config["data"].get("image_size", 192)),
+    )
+
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "evaluation_results.json").write_text(json.dumps(results, indent=2))
+
+    if args.save_visualizations:
+        from msid_tpu.utils.visualization import save_restoration_triptychs
+
+        save_restoration_triptychs(
+            model, variables, val_loader, out_dir / "visualizations",
+            noise_cfg=NoiseConfig.from_config(config),
+            image_size=int(config["data"].get("image_size", 192)),
+            num_samples=5,
+        )
+        logger.info("Saved visualizations to %s", out_dir / "visualizations")
+
+
+if __name__ == "__main__":
+    main()

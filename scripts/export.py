@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Export CLI — surface mirrors the reference
+(`/root/reference/scripts/export.py:26-33`): --config / --checkpoint /
+--output / --verify, targeting StableHLO (jax.export) instead of ONNX.
+The --verify path also runs the live-vs-exported numerical comparison
+(which the reference's CLI could not: its import of
+compare_pytorch_onnx_outputs crashed — SURVEY §2 defect 1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Export the denoiser to StableHLO")
+    p.add_argument("--config", type=str, default="configs/deployment.yaml")
+    p.add_argument("--model-config", type=str, default="configs/base.yaml")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--output", type=str, default=None)
+    p.add_argument("--verify", action="store_true")
+    p.add_argument("--benchmark", action="store_true")
+    p.add_argument("--device", type=str, default=None, help="jax platform override (tpu/cpu)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.device:
+        import os
+
+        # sitecustomize may have imported jax already; config.update wins
+        # as long as no backend has been initialized yet.
+        os.environ["JAX_PLATFORMS"] = args.device
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", args.device)
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s: %(message)s")
+    logger = logging.getLogger("export")
+
+    import jax
+    import jax.numpy as jnp
+
+    from msid_tpu.deployment import (
+        compare_live_vs_exported,
+        export_stablehlo,
+        verify_exported_model,
+    )
+    from msid_tpu.models import SatMAERestoration, init_model
+    from msid_tpu.utils.config import coerce_scheduler_params, load_config
+
+    deploy_cfg = load_config(args.config)
+    config = coerce_scheduler_params(load_config(args.model_config))
+    config["model"]["encoder"]["pretrained_path"] = None
+
+    model = SatMAERestoration.from_config(config, dtype=jnp.bfloat16)
+    variables = init_model(model, jax.random.PRNGKey(int(config.get("seed", 42))))
+
+    if args.checkpoint:
+        from msid_tpu.training import TrainState, build_optimizer_from_config
+        from msid_tpu.utils.checkpointing import CheckpointManager
+
+        tx, _ = build_optimizer_from_config(config, variables["params"])
+        target = TrainState.create(variables, tx)
+        mgr = CheckpointManager(args.checkpoint)
+        out = mgr.load_best(target=target) or mgr.load_latest(target=target)
+        if out is None:
+            raise FileNotFoundError(f"No checkpoint under {args.checkpoint}")
+        variables = out[0].variables
+        logger.info("Restored checkpoint from %s", args.checkpoint)
+
+    export_cfg = deploy_cfg.get("export", {})
+    output = Path(args.output or export_cfg.get("output_path",
+                  "outputs/export/satmae_denoiser.stablehlo"))
+    # Default the export shape to the model's own geometry; an explicit
+    # deployment-config input_shape overrides (and must match the model).
+    data_cfg = config.get("data", {})
+    default_shape = (
+        1, int(data_cfg.get("image_size", 192)), int(data_cfg.get("image_size", 192)),
+        int(data_cfg.get("num_bands", 13)),
+    )
+    input_shape = tuple(export_cfg.get("input_shape", default_shape))
+    if input_shape[1:] != default_shape[1:]:
+        logger.warning(
+            "deployment input_shape %s does not match model geometry %s — "
+            "using the model's", input_shape, default_shape,
+        )
+        input_shape = (input_shape[0], *default_shape[1:])
+
+    path = export_stablehlo(
+        model, variables, output,
+        input_shape=input_shape,
+        dynamic_batch=bool(export_cfg.get("dynamic_batch", True)),
+    )
+
+    if args.verify:
+        ok = verify_exported_model(path, input_shape=input_shape)
+        result = compare_live_vs_exported(model, variables, path, input_shape=input_shape)
+        logger.info("verify=%s, %s", ok, result)
+        if not ok or not result.allclose:
+            sys.exit(1)
+
+    if args.benchmark:
+        from msid_tpu.deployment import InferenceSession
+
+        inf_cfg = deploy_cfg.get("inference", {})
+        session = InferenceSession(
+            model=model, variables=variables,
+            batch_size=int(inf_cfg.get("batch_size", 1)),
+            image_size=input_shape[1], num_bands=input_shape[3],
+        )
+        stats = session.benchmark(
+            warmup_runs=int(inf_cfg.get("warmup_runs", 10)),
+            benchmark_iterations=int(inf_cfg.get("benchmark_iterations", 100)),
+        )
+        logger.info("benchmark: %s", stats)
+
+
+if __name__ == "__main__":
+    main()

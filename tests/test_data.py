@@ -1,0 +1,116 @@
+"""Data layer: TIFF round-trip, split parity, synthetic dataset, loader."""
+
+import numpy as np
+import pytest
+
+from msid_tpu.data import (
+    BatchLoader,
+    EuroSATMultiSpectral,
+    SyntheticEuroSAT,
+    read_tiff,
+    write_tiff,
+)
+from msid_tpu.data.dataset import _reference_split
+
+
+def test_tiff_roundtrip_uint16(tmp_path):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 10000, size=(64, 64, 13), dtype=np.uint16)
+    p = tmp_path / "tile.tif"
+    write_tiff(p, img)
+    back = read_tiff(p)
+    assert back.shape == (64, 64, 13)
+    assert back.dtype == np.uint16
+    assert np.array_equal(back, img)
+
+
+def test_tiff_roundtrip_float32(tmp_path):
+    img = np.random.default_rng(1).normal(size=(32, 16, 3)).astype(np.float32)
+    p = tmp_path / "f.tif"
+    write_tiff(p, img)
+    assert np.allclose(read_tiff(p), img)
+
+
+def test_tiff_matches_pil(tmp_path):
+    """Cross-check our reader against PIL on a PIL-written file."""
+    PIL = pytest.importorskip("PIL.Image")
+    img = np.random.default_rng(2).integers(0, 255, (40, 56), dtype=np.uint8)
+    p = tmp_path / "gray.tif"
+    PIL.fromarray(img).save(p)
+    back = read_tiff(p)
+    assert np.array_equal(back.squeeze(-1), img)
+
+
+def test_split_matches_reference_semantics():
+    """np.random.seed + permutation, 80/20 — identical index sets."""
+    train, val = _reference_split(100, 0.8, 42)
+    np.random.seed(42)
+    want = np.random.permutation(100)
+    assert np.array_equal(train, want[:80])
+    assert np.array_equal(val, want[80:])
+    assert len(set(train) & set(val)) == 0
+
+
+def test_dataset_glob_split_and_band_padding(tmp_path):
+    rng = np.random.default_rng(3)
+    for sub in ("AnnualCrop", "Forest"):
+        d = tmp_path / sub
+        d.mkdir()
+        for i in range(5):
+            write_tiff(d / f"{sub}_{i}.tif", rng.integers(0, 10000, (64, 64, 13), dtype=np.uint16))
+    # one tile with too few bands → padded
+    write_tiff(tmp_path / "AnnualCrop" / "odd.tif", rng.integers(0, 10000, (64, 64, 4), dtype=np.uint16))
+
+    train = EuroSATMultiSpectral(tmp_path, split="train", train_split=0.8, seed=42)
+    val = EuroSATMultiSpectral(tmp_path, split="val", train_split=0.8, seed=42)
+    assert len(train) + len(val) == 11
+    for ds in (train, val):
+        for i in range(len(ds)):
+            tile = ds[i]
+            assert tile.shape == (64, 64, 13)
+            assert tile.dtype == np.float32
+
+
+def test_synthetic_dataset_deterministic():
+    ds = SyntheticEuroSAT(num_samples=20, split="train", seed=7)
+    a, b = ds[0], ds[0]
+    assert np.array_equal(a, b)
+    assert a.shape == (64, 64, 13)
+    assert 0 <= a.min() and a.max() <= 10000
+    ds2 = SyntheticEuroSAT(num_samples=20, split="train", seed=8)
+    assert not np.array_equal(ds[0], ds2[0])
+
+
+def test_batch_loader_shapes_and_determinism():
+    ds = SyntheticEuroSAT(num_samples=50, split="train", seed=0)
+    loader = BatchLoader(ds, batch_size=8, shuffle=True, drop_last=True, seed=1)
+    batches = list(loader)
+    assert len(batches) == len(ds) // 8
+    assert all(b.shape == (8, 64, 64, 13) for b in batches)
+    # second epoch shuffles differently
+    batches2 = list(loader)
+    assert not np.array_equal(batches[0], batches2[0])
+    # fresh loader with same seed reproduces epoch 0
+    loader3 = BatchLoader(ds, batch_size=8, shuffle=True, drop_last=True, seed=1)
+    assert np.array_equal(list(loader3)[0], batches[0])
+
+
+def test_batch_loader_pad_last():
+    ds = SyntheticEuroSAT(num_samples=12, split="train", train_split=1.0)
+    loader = BatchLoader(ds, batch_size=8, shuffle=False, drop_last=False, pad_last=True)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[1].shape == (8, 64, 64, 13)
+
+
+def test_build_dataset_synthetic_fallback(tmp_path):
+    from msid_tpu.data import build_dataset
+
+    cfg = {
+        "seed": 42,
+        "data": {"root_dir": str(tmp_path / "missing"), "synthetic_fallback": True,
+                 "synthetic_samples": 16},
+    }
+    ds = build_dataset(cfg, "train")
+    assert isinstance(ds, SyntheticEuroSAT)
+    assert len(ds) > 0

@@ -1,0 +1,219 @@
+"""Training core: schedules, optimizer groups/freezing, fused train step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from msid_tpu.models import SatMAERestoration, init_model
+from msid_tpu.ops.noise import NoiseConfig
+from msid_tpu.training.losses import LossConfig
+from msid_tpu.training.optim import build_optimizer, build_optimizer_from_config, label_params
+from msid_tpu.training.schedules import build_schedule, cosine_warm_restarts
+from msid_tpu.training.train_state import TrainState, make_eval_step, make_train_step
+
+SMALL = dict(
+    image_size=64, patch_size=16, embed_dim=64, depth=2, num_heads=2,
+    decoder_channels=(32, 16, 8, 8), gradient_checkpointing=False,
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = SatMAERestoration(**SMALL)
+    variables = init_model(model, jax.random.PRNGKey(0))
+    return model, variables
+
+
+# ---------------- schedules ----------------
+
+
+def test_sgdr_restarts():
+    sched = cosine_warm_restarts(1e-3, t_0=10, t_mult=2, eta_min=1e-6)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    # near the end of the first cycle LR approaches eta_min
+    assert float(sched(9)) < 1e-4
+    # restart at step 10
+    assert float(sched(10)) == pytest.approx(1e-3, rel=1e-3)
+    # second cycle is 20 long: step 30 restarts again
+    assert float(sched(30)) == pytest.approx(1e-3, rel=1e-3)
+    assert float(sched(29)) < 1e-4
+
+
+def test_build_schedule_from_config():
+    cfg = {
+        "training": {
+            "optimizer": {"lr": 1e-4},
+            "scheduler": {"type": "CosineAnnealingWarmRestarts", "T_0": 5,
+                          "T_mult": 1, "eta_min": 1e-6},
+        }
+    }
+    sched = build_schedule(cfg)
+    assert float(sched(0)) == pytest.approx(1e-4)
+    assert float(sched(5)) == pytest.approx(1e-4, rel=1e-3)
+
+
+# ---------------- optimizer groups ----------------
+
+
+def test_label_params(model_and_vars):
+    _, variables = model_and_vars
+    labels = label_params(variables["params"], freeze_layers=(0,))
+    flat = jax.tree_util.tree_leaves_with_path(labels)
+    seen = set(jax.tree_util.tree_leaves(labels))
+    assert seen == {"frozen", "encoder", "decoder"}
+    for path, lab in flat:
+        keys = [getattr(p, "key", "") for p in path]
+        if "encoder" in keys and "blocks_0" in keys:
+            assert lab == "frozen"
+        elif "encoder" in keys:
+            assert lab == "encoder"
+        else:
+            assert lab == "decoder"
+
+
+def test_frozen_params_do_not_update(model_and_vars):
+    model, variables = model_and_vars
+    tx = build_optimizer(
+        optax.constant_schedule(1e-2), freeze_layers=(0,), params=variables["params"]
+    )
+    state = TrainState.create(variables, tx)
+    step = make_train_step(
+        model, tx, LossConfig(ssim_weight=0.0), NoiseConfig(),
+        accum_steps=1, image_size=64,
+    )
+    batch = np.random.default_rng(0).uniform(0, 10000, (2, 64, 64, 13)).astype(np.float32)
+    new_state, metrics = step(state, jnp.asarray(batch), jax.random.PRNGKey(0))
+
+    frozen_before = variables["params"]["encoder"]["blocks_0"]
+    frozen_after = new_state.params["encoder"]["blocks_0"]
+    for a, b in zip(jax.tree_util.tree_leaves(frozen_before), jax.tree_util.tree_leaves(frozen_after)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    # unfrozen encoder block and decoder must move
+    moved = jax.tree_util.tree_leaves(new_state.params["encoder"]["blocks_1"])
+    orig = jax.tree_util.tree_leaves(variables["params"]["encoder"]["blocks_1"])
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b)) for a, b in zip(orig, moved))
+
+
+def test_encoder_lr_scale():
+    """With SGD-like dynamics the encoder step must be ~0.1x the decoder's.
+    Verified via the adamw update magnitudes on a toy tree."""
+    params = {"encoder": {"blocks_0": {"w": jnp.ones((4, 4))}},
+              "decoder": {"w": jnp.ones((4, 4))}}
+    tx = build_optimizer(
+        optax.constant_schedule(1e-2), gradient_clip=0.0,
+        encoder_lr_scale=0.1, params=params,
+    )
+    opt_state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    enc_mag = float(jnp.abs(updates["encoder"]["blocks_0"]["w"]).mean())
+    dec_mag = float(jnp.abs(updates["decoder"]["w"]).mean())
+    assert enc_mag == pytest.approx(0.1 * dec_mag, rel=0.05)
+
+
+# ---------------- train step ----------------
+
+
+def _make_setup(model, variables, accum=2, **loss_kw):
+    tx = build_optimizer(optax.constant_schedule(1e-3), params=variables["params"])
+    state = TrainState.create(variables, tx)
+    step = make_train_step(
+        model, tx, LossConfig(**loss_kw), NoiseConfig(), accum_steps=accum, image_size=64
+    )
+    return tx, state, step
+
+
+def test_train_step_runs_and_decreases_loss(model_and_vars):
+    model, variables = model_and_vars
+    tx, state, step = _make_setup(model, variables, accum=2, ssim_weight=0.0)
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(rng.uniform(0, 10000, (4, 64, 64, 13)).astype(np.float32))
+    losses = []
+    for i in range(12):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 12
+    assert int(state.nan_skips) == 0
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_grad_accum_equivalence():
+    """accum=4 over batch 4 must match accum=1 over the same batch
+    (mean-of-micro-grads == full-batch grad for mean losses).
+
+    Uses GroupNorm: with BatchNorm the equivalence genuinely does not hold
+    (micro-batch 1 normalizes over different statistics than batch 4)."""
+    model = SatMAERestoration(**SMALL, norm="group")
+    variables = init_model(model, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    batch = jnp.asarray(rng.uniform(0, 10000, (4, 64, 64, 13)).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+
+    results = []
+    for accum in (1, 4):
+        tx = build_optimizer(optax.constant_schedule(1e-3), params=variables["params"])
+        state = TrainState.create(variables, tx)
+        step = make_train_step(model, tx, LossConfig(ssim_weight=0.0), NoiseConfig(),
+                               accum_steps=accum, image_size=64)
+        new_state, m = step(state, batch, key)
+        results.append((new_state, float(m["loss"])))
+
+    (s1, l1), (s4, l4) = results
+    # identical corruption key → identical data; only grouping differs.
+    assert l1 == pytest.approx(l4, rel=1e-4)
+    a = np.asarray(s1.params["encoder"]["pos_embed"])
+    b = np.asarray(s4.params["encoder"]["pos_embed"])
+    assert np.allclose(a, b, atol=1e-5)
+
+
+def test_nan_guard_skips_update(model_and_vars):
+    model, variables = model_and_vars
+    tx, state, step = _make_setup(model, variables, accum=1, ssim_weight=0.0)
+    bad = jnp.full((2, 64, 64, 13), jnp.nan, jnp.float32)
+    new_state, metrics = step(state, bad, jax.random.PRNGKey(0))
+    assert int(metrics["skipped"]) == 1
+    assert int(new_state.nan_skips) == 1
+    assert int(new_state.step) == 0
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(new_state.params)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # and a good batch afterwards still works (moments unpolluted)
+    good = jnp.asarray(np.random.default_rng(0).uniform(0, 10000, (2, 64, 64, 13)).astype(np.float32))
+    s2, m2 = step(new_state, good, jax.random.PRNGKey(1))
+    assert int(m2["skipped"]) == 0
+    assert np.isfinite(float(m2["loss"]))
+
+
+def test_eval_step_sums(model_and_vars):
+    model, variables = model_and_vars
+    eval_step = make_eval_step(model, LossConfig(), NoiseConfig(), image_size=64)
+    batch = jnp.asarray(np.random.default_rng(0).uniform(0, 10000, (4, 64, 64, 13)).astype(np.float32))
+    sums = eval_step(variables, batch, jax.random.PRNGKey(0))
+    assert set(sums) == {"psnr", "ssim", "sam", "rmse", "count", "loss"}
+    assert float(sums["count"]) == 4.0
+    # deterministic for a fixed key
+    sums2 = eval_step(variables, batch, jax.random.PRNGKey(0))
+    assert float(sums["psnr"]) == float(sums2["psnr"])
+
+
+def test_build_optimizer_from_config(model_and_vars):
+    _, variables = model_and_vars
+    cfg = {
+        "model": {"encoder": {"freeze_layers": [0]}},
+        "training": {
+            "optimizer": {"lr": "1e-4", "weight_decay": 0.05, "betas": [0.9, 0.999]},
+            "scheduler": {"type": "CosineAnnealingWarmRestarts", "T_0": 10, "T_mult": 2,
+                          "eta_min": 1e-6},
+            "gradient_clip": 1.0,
+        },
+    }
+    tx, sched = build_optimizer_from_config(cfg, variables["params"])
+    assert float(sched(0)) == pytest.approx(1e-4)
+    opt_state = tx.init(variables["params"])
+    grads = jax.tree_util.tree_map(jnp.zeros_like, variables["params"])
+    updates, _ = tx.update(grads, opt_state, variables["params"])
