@@ -114,6 +114,35 @@ def apply_sensor_noise(
     return out.astype(orig_dtype)
 
 
+def corrupt(
+    key: jax.Array,
+    x: jnp.ndarray,
+    cfg: NoiseConfig = NoiseConfig(),
+    impl: str = "jnp",
+) -> jnp.ndarray:
+    """Dispatch to the XLA-fused (`jnp`) or Pallas (`pallas`) corruption.
+
+    Both draw from (key-derived) deterministic streams with identical
+    distributions; the streams themselves differ (threefry vs TPU hardware
+    PRNG). ``pallas`` requires a TPU backend (tests use interpret mode).
+    """
+    if impl == "pallas":
+        from msid_tpu.ops.pallas_noise import apply_sensor_noise_pallas
+
+        raw = key if jnp.issubdtype(key.dtype, jnp.integer) else jax.random.key_data(key)
+        seed = raw.ravel()[-1].astype(jnp.int32)
+        return apply_sensor_noise_pallas(seed, x, cfg)
+    return apply_sensor_noise(key, x, cfg)
+
+
+def default_noise_impl() -> str:
+    """'pallas' on TPU backends, 'jnp' elsewhere."""
+    try:
+        return "pallas" if jax.default_backend() == "tpu" else "jnp"
+    except Exception:
+        return "jnp"
+
+
 def sample_keys_for_epoch(
     base_key: jax.Array, epoch: int, num_batches: int
 ) -> jnp.ndarray:

@@ -25,7 +25,7 @@ import optax
 from flax import struct
 
 from msid_tpu.ops.metrics import batch_metric_sums
-from msid_tpu.ops.noise import NoiseConfig, apply_sensor_noise
+from msid_tpu.ops.noise import NoiseConfig, apply_sensor_noise, corrupt
 from msid_tpu.ops.preprocess import preprocess_tiles
 from msid_tpu.training.losses import LossConfig, combined_loss
 
@@ -79,6 +79,7 @@ def make_train_step(
     mesh=None,
     data_axis: str = "data",
     donate: bool = False,
+    noise_impl: str = "jnp",
 ) -> Callable:
     """Build the jitted train step.
 
@@ -119,7 +120,7 @@ def make_train_step(
             clean = preprocess_tiles(batch, image_size)
         else:
             clean = batch.astype(jnp.float32)
-        noisy = apply_sensor_noise(key, clean, noise_cfg)
+        noisy = corrupt(key, clean, noise_cfg, impl=noise_impl)
 
         n = clean.shape[0]
         micro = n // accum_steps
@@ -193,6 +194,7 @@ def make_eval_step(
     preprocess_on_device: bool = True,
     mesh=None,
     data_axis: str = "data",
+    noise_impl: str = "jnp",
 ) -> Callable:
     """Jitted eval step: corrupt deterministically (per-batch key), forward
     in eval mode, return on-device metric sums + loss sum. Never syncs.
@@ -207,7 +209,7 @@ def make_eval_step(
             clean = preprocess_tiles(batch, image_size)
         else:
             clean = batch.astype(jnp.float32)
-        noisy = apply_sensor_noise(key, clean, noise_cfg)
+        noisy = corrupt(key, clean, noise_cfg, impl=noise_impl)
         out = model.apply(variables, noisy.astype(compute_dtype), train=False)
         out = out.astype(jnp.float32)
         loss, _ = combined_loss(out, clean, loss_cfg)

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from msid_tpu.ops.noise import NoiseConfig
+from msid_tpu.ops.noise import NoiseConfig, default_noise_impl
 from msid_tpu.training.losses import LossConfig
 from msid_tpu.training.train_state import TrainState, make_eval_step, make_train_step
 
@@ -75,12 +75,18 @@ class Trainer:
         accum = int(training.get("gradient_accumulation_steps", 1))
         self.accum_steps = accum
 
+        # 'auto' → Pallas fused corruption on TPU, XLA-fused jnp elsewhere.
+        noise_impl = str(config.get("noise", {}).get("impl", "auto"))
+        if noise_impl == "auto":
+            noise_impl = default_noise_impl()
+
         self.train_step = train_step or make_train_step(
             model, tx, self.loss_cfg, self.noise_cfg,
-            accum_steps=accum, image_size=image_size,
+            accum_steps=accum, image_size=image_size, noise_impl=noise_impl,
         )
         self.eval_step = eval_step or make_eval_step(
-            model, self.loss_cfg, self.noise_cfg, image_size=image_size
+            model, self.loss_cfg, self.noise_cfg, image_size=image_size,
+            noise_impl=noise_impl,
         )
 
         es = config.get("early_stopping", {})
@@ -110,22 +116,28 @@ class Trainer:
             self.state, metrics = self.train_step(self.state, jnp.asarray(batch), key)
             losses.append(metrics["loss"])
 
+            # Host syncs only every log_every batches — a per-batch
+            # device_get would serialize dispatch against execution.
             if self.log_every and (i + 1) % self.log_every == 0:
                 loss_val = float(jax.device_get(metrics["loss"]))
                 logger.info(
                     "epoch %d batch %d/%d loss=%.5f (%.2f batch/s)",
                     epoch, i + 1, len(loader), loss_val, (i + 1) / (time.time() - t0),
                 )
-
-            skips = int(jax.device_get(self.state.nan_skips)) - skips_at_start
-            if skips > MAX_NAN_SKIPS_PER_EPOCH:
-                raise RuntimeError(
-                    f"Aborting epoch {epoch}: {skips} non-finite batches "
-                    f"(> {MAX_NAN_SKIPS_PER_EPOCH}). Check LR / data health."
-                )
+                skips = int(jax.device_get(self.state.nan_skips)) - skips_at_start
+                if skips > MAX_NAN_SKIPS_PER_EPOCH:
+                    raise RuntimeError(
+                        f"Aborting epoch {epoch}: {skips} non-finite batches "
+                        f"(> {MAX_NAN_SKIPS_PER_EPOCH}). Check LR / data health."
+                    )
 
         losses = jax.device_get(losses)  # single bulk sync
         skipped = int(jax.device_get(self.state.nan_skips)) - skips_at_start
+        if skipped > MAX_NAN_SKIPS_PER_EPOCH:
+            raise RuntimeError(
+                f"Epoch {epoch} had {skipped} non-finite batches "
+                f"(> {MAX_NAN_SKIPS_PER_EPOCH}). Check LR / data health."
+            )
         return {
             "loss": float(np.mean(losses)) if losses else 0.0,
             "skipped": skipped,

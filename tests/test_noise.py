@@ -134,3 +134,59 @@ def test_resize_matches_torch_bilinear():
     want = (torch.clamp(want, 0, 1) - 0.5) / 0.25
     want = np.transpose(want.numpy(), (0, 2, 3, 1))
     assert np.allclose(got, want, atol=1e-4)
+
+
+# ---------------- Pallas fused corruption kernel ----------------
+
+
+def test_pallas_noise_structural_interpret():
+    """Interpret mode stubs the hardware PRNG (zero bits), so only the
+    structure is checkable on CPU: shape/dtype/clamp/determinism and the
+    per-component gating. Statistics are validated on a real TPU by
+    test_pallas_noise_statistics_tpu."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from msid_tpu.ops.pallas_noise import apply_sensor_noise_pallas
+    from msid_tpu.ops.noise import NoiseConfig
+
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(-2, 2, (2, 32, 32, 13)).astype(np.float32)
+    )
+    cfg = NoiseConfig(enable_striping=True)
+    with pltpu.force_tpu_interpret_mode():
+        y = apply_sensor_noise_pallas(jnp.int32(1), x, cfg)
+        y2 = apply_sensor_noise_pallas(jnp.int32(1), x, cfg)
+    y, y2 = np.asarray(y), np.asarray(y2)
+    assert y.shape == x.shape and y.dtype == np.float32
+    assert np.isfinite(y).all()
+    assert y.min() >= -3.0 and y.max() <= 3.0
+    assert np.array_equal(y, y2)
+
+
+def test_pallas_noise_statistics_tpu():
+    """Distributional parity with the reference components (TPU only)."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("hardware PRNG requires a TPU backend")
+    from msid_tpu.ops.pallas_noise import apply_sensor_noise_pallas
+    from msid_tpu.ops.noise import NoiseConfig
+
+    zeros = jnp.zeros((4, 192, 192, 13), jnp.float32)
+    g = np.asarray(apply_sensor_noise_pallas(
+        jnp.int32(3), zeros,
+        NoiseConfig(gaussian_sigma=0.02, speckle_sigma=0, dead_band_prob=0,
+                    thermal_scale=0),
+    ))
+    assert abs(g.mean()) < 1e-3 and abs(g.std() - 0.02) < 1e-3
+
+    t = np.asarray(apply_sensor_noise_pallas(
+        jnp.int32(5), zeros,
+        NoiseConfig(gaussian_sigma=0, speckle_sigma=0, dead_band_prob=0,
+                    thermal_scale=0.01),
+    ))
+    assert abs(t[..., 0].std() - 0.01) < 1e-3   # band 1 weight 1.0
+    assert abs(t[..., 12].std() - 0.02) < 2e-3  # band 13 weight 2.0
+
+    ones = jnp.ones((8, 192, 192, 13), jnp.float32)
+    y = np.asarray(apply_sensor_noise_pallas(jnp.int32(7), ones, NoiseConfig()))
+    dead = np.abs(y).mean(axis=(1, 2)) < 0.1
+    assert 1 <= dead.sum() <= 20  # Binomial(104, 0.08): ~8.3 ± 2.8
