@@ -9,10 +9,13 @@ from msid_tpu.deployment.export import (
     verify_exported_model,
 )
 from msid_tpu.deployment.inference import InferenceSession
+from msid_tpu.deployment.sliding_window import make_scene_step, restore_scene
 
 __all__ = [
     "ComparisonResult",
     "InferenceSession",
+    "make_scene_step",
+    "restore_scene",
     "compare_live_vs_exported",
     "export_stablehlo",
     "load_exported",

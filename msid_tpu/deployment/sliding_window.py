@@ -1,0 +1,129 @@
+"""Sliding-window restoration of full Sentinel-2 scenes.
+
+New capability beyond the reference (BASELINE.json configs[4]; the
+reference only handles 64x64 tiles). A full scene (e.g. 10980x10980x13)
+is processed as overlapping windows: each native-resolution window is
+preprocessed on device exactly like a training tile (scale -> bilinear
+upsample to the model size -> model range), denoised, mapped back to the
+window's native resolution, and blended into the output with a separable
+cosine (Hann-edge) weight so seams vanish.
+
+TPU-first: every device step has a static shape — windows are padded to a
+full batch; extraction/assembly are cheap host-side numpy slices while the
+device pipeline (preprocess + forward + postprocess, one jit) overlaps
+with host assembly of the next batch via async dispatch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _blend_weights(window: int, overlap: int) -> np.ndarray:
+    """[window, window] separable blending weight: 1 in the interior,
+    raised-cosine ramp over the overlap margin. Strictly positive so the
+    accumulated weight never divides by zero."""
+    w = np.ones(window, np.float32)
+    ramp_len = max(1, overlap)
+    ramp = 0.5 - 0.5 * np.cos(np.pi * (np.arange(ramp_len) + 0.5) / ramp_len)
+    w[:ramp_len] = ramp
+    w[-ramp_len:] = ramp[::-1]
+    return np.outer(w, w).astype(np.float32)
+
+
+def _window_origins(size: int, window: int, stride: int) -> list:
+    """Start offsets covering [0, size) with a final flush-right window."""
+    if size <= window:
+        return [0]
+    starts = list(range(0, size - window + 1, stride))
+    if starts[-1] != size - window:
+        starts.append(size - window)
+    return starts
+
+
+def make_scene_step(model, variables, window: int, model_size: int):
+    """Jitted per-batch pipeline: raw windows -> preprocess -> denoise ->
+    back to native window resolution, in model range."""
+    from msid_tpu.ops.preprocess import preprocess_tiles
+
+    @jax.jit
+    def step(batch):
+        clean_in = preprocess_tiles(batch, model_size)
+        out = model.apply(variables, clean_in, train=False).astype(jnp.float32)
+        if model_size != window:
+            b, _, _, c = out.shape
+            out = jax.image.resize(
+                out, (b, window, window, c), method="bilinear", antialias=False
+            )
+        return out
+
+    return step
+
+
+def restore_scene(
+    model,
+    variables,
+    scene: np.ndarray,
+    window: int = 64,
+    overlap: int = 16,
+    model_size: int = 192,
+    batch_size: int = 64,
+    progress: Optional[callable] = None,
+) -> np.ndarray:
+    """Denoise a full [H, W, C] scene; returns fp32 [H, W, C] in model range
+    (use `msid_tpu.ops.preprocess.from_model_range` for reflectance).
+
+    Args:
+        scene: raw scene, any real dtype (same heuristic scaling as tiles).
+        window: native-resolution window size (reference tiles are 64).
+        overlap: pixels of overlap between adjacent windows.
+        model_size: the model's input resolution (window is upsampled to it).
+        batch_size: windows per device step (static shape; last batch pads).
+    """
+    h, w, c = scene.shape
+    stride = window - overlap
+    ys = _window_origins(h, window, stride)
+    xs = _window_origins(w, window, stride)
+    origins = [(y, x) for y in ys for x in xs]
+
+    step = make_scene_step(model, variables, window, model_size)
+    weights = _blend_weights(window, overlap)
+
+    out_sum = np.zeros((h, w, c), np.float32)
+    w_sum = np.zeros((h, w, 1), np.float32)
+
+    pending = []  # (device_result, batch_origins) — overlap host/device
+    for i in range(0, len(origins), batch_size):
+        chunk = origins[i : i + batch_size]
+        batch = np.stack(
+            [scene[y : y + window, x : x + window] for (y, x) in chunk]
+        ).astype(np.float32)
+        if len(chunk) < batch_size:  # pad to the static batch shape
+            pad = np.repeat(batch[:1], batch_size - len(chunk), axis=0)
+            batch = np.concatenate([batch, pad], axis=0)
+        pending.append((step(jnp.asarray(batch)), chunk))
+
+        # Drain one completed batch behind the in-flight one.
+        if len(pending) > 1:
+            _drain(pending.pop(0), out_sum, w_sum, weights, window)
+            if progress:
+                progress(i, len(origins))
+    while pending:
+        _drain(pending.pop(0), out_sum, w_sum, weights, window)
+
+    return out_sum / w_sum
+
+
+def _drain(entry, out_sum, w_sum, weights, window):
+    result, chunk = entry
+    tiles = np.asarray(jax.device_get(result))[: len(chunk)]
+    wt = weights[:, :, None]
+    for tile, (y, x) in zip(tiles, chunk):
+        out_sum[y : y + window, x : x + window] += tile * wt
+        w_sum[y : y + window, x : x + window] += wt

@@ -1,4 +1,9 @@
-"""Utility layer: config, checkpointing, logging, downloads, visualization."""
+"""Utility layer: config, checkpointing, logging, downloads, visualization.
+
+Heavy submodules (visualization → matplotlib, download → urllib, setup →
+the full stack) are intentionally NOT imported here; import them directly:
+    from msid_tpu.utils import visualization, download, setup
+"""
 
 from msid_tpu.utils.config import (
     coerce_scheduler_params,

@@ -1,0 +1,173 @@
+"""Deployment: sliding-window scene restoration, visualization, setup helpers."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from msid_tpu.models import SatMAERestoration, init_model
+
+SMALL = dict(
+    image_size=64, patch_size=16, embed_dim=64, depth=1, num_heads=2,
+    decoder_channels=(16, 8, 8, 8), gradient_checkpointing=False, norm="group",
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = SatMAERestoration(**SMALL)
+    variables = init_model(model, jax.random.PRNGKey(0))
+    return model, variables
+
+
+# ---------------- sliding-window scene restoration ----------------
+
+
+def test_window_origins_cover_scene():
+    from msid_tpu.deployment.sliding_window import _window_origins
+
+    starts = _window_origins(200, 64, 48)
+    assert starts[0] == 0 and starts[-1] == 200 - 64
+    covered = np.zeros(200, bool)
+    for s in starts:
+        covered[s : s + 64] = True
+    assert covered.all()
+    assert _window_origins(50, 64, 48) == [0]
+
+
+def test_blend_weights_positive_and_interior_one():
+    from msid_tpu.deployment.sliding_window import _blend_weights
+
+    w = _blend_weights(64, 16)
+    assert w.shape == (64, 64)
+    assert (w > 0).all()
+    assert w[32, 32] == pytest.approx(1.0)
+    assert w[0, 32] < 0.2  # edge feathered
+
+
+def test_restore_scene_matches_reference_assembly(model_and_vars):
+    """restore_scene must equal an inline reimplementation of the
+    windowed blend (same windows, weights, normalization)."""
+    from msid_tpu.deployment.sliding_window import (
+        _blend_weights,
+        _window_origins,
+        make_scene_step,
+        restore_scene,
+    )
+
+    model, variables = model_and_vars
+    rng = np.random.default_rng(3)
+    scene = rng.uniform(0, 10000, (112, 160, 13)).astype(np.float32)
+
+    out = restore_scene(model, variables, scene,
+                        window=64, overlap=16, model_size=64, batch_size=3)
+    assert out.shape == scene.shape and np.isfinite(out).all()
+
+    # reference assembly: one window at a time, no batching/padding
+    step = make_scene_step(model, variables, window=64, model_size=64)
+    wts = _blend_weights(64, 16)[:, :, None]
+    num = np.zeros_like(out)
+    den = np.zeros((112, 160, 1), np.float32)
+    for y in _window_origins(112, 64, 48):
+        for x in _window_origins(160, 64, 48):
+            tile = scene[y : y + 64, x : x + 64][None]
+            pred = np.asarray(step(jnp.asarray(np.repeat(tile, 3, 0))))[0]
+            num[y : y + 64, x : x + 64] += pred * wts
+            den[y : y + 64, x : x + 64] += wts
+    assert np.allclose(out, num / den, atol=1e-4)
+
+
+def test_restore_scene_matches_single_window(model_and_vars):
+    """Scene == one window → identical to a direct forward pass."""
+    from msid_tpu.deployment.sliding_window import restore_scene
+    from msid_tpu.ops.preprocess import preprocess_tiles
+
+    model, variables = model_and_vars
+    rng = np.random.default_rng(0)
+    scene = rng.uniform(0, 10000, (64, 64, 13)).astype(np.float32)
+
+    out = restore_scene(model, variables, scene, window=64, overlap=16,
+                        model_size=64, batch_size=2)
+
+    direct_in = preprocess_tiles(jnp.asarray(scene)[None], 64)
+    direct = np.asarray(model.apply(variables, direct_in, train=False))[0]
+    assert np.allclose(out, direct, atol=1e-4)
+
+
+# ---------------- visualization ----------------
+
+
+def test_visualization_saves_files(tmp_path, model_and_vars):
+    from msid_tpu.utils import visualization as viz
+
+    rng = np.random.default_rng(0)
+    img = rng.normal(0, 1, (32, 32, 13)).astype(np.float32)
+
+    rgb = viz.extract_rgb(img)
+    assert rgb.shape == (32, 32, 3)
+    assert rgb.min() >= 0 and rgb.max() <= 1
+
+    viz.plot_restoration_triptych(img, img, img, save_path=tmp_path / "t.png",
+                                  metrics={"PSNR": 30.0})
+    viz.plot_spectral_signatures(img, img, save_path=tmp_path / "s.png",
+                                 pixels=((4, 4),))
+    viz.plot_training_curves(
+        {"train_loss": [1, 0.5], "val_loss": [1.1, 0.6], "val_psnr": [10, 20],
+         "val_ssim": [0.1, 0.5], "lr": [1e-4, 5e-5]},
+        save_path=tmp_path / "c.png",
+    )
+    for f in ("t.png", "s.png", "c.png"):
+        assert (tmp_path / f).stat().st_size > 1000
+
+
+def test_save_restoration_triptychs(tmp_path, model_and_vars):
+    from msid_tpu.utils.visualization import save_restoration_triptychs
+
+    model, variables = model_and_vars
+    batch = np.random.default_rng(0).uniform(0, 10000, (2, 64, 64, 13)).astype(np.float32)
+    n = save_restoration_triptychs(
+        model, variables, [batch], tmp_path, image_size=64, num_samples=2
+    )
+    assert n == 2
+    assert (tmp_path / "sample_00.png").exists()
+    assert (tmp_path / "sample_01_spectra.png").exists()
+
+
+# ---------------- setup helpers ----------------
+
+
+def test_estimate_memory_reasonable():
+    from msid_tpu.utils.setup import estimate_memory
+
+    mem = estimate_memory(
+        {"training": {"micro_batch_size": 8}, "data": {"image_size": 192},
+         "model": {"encoder": {"depth": 12, "embed_dim": 768, "patch_size": 16}}},
+        num_params=96_000_000,
+    )
+    # 96M params: 0.38 params + 0.77 opt + 0.38 grads + activations
+    assert 1.4 < mem["total_gb"] < 4.0
+
+
+def test_download_verify_report(tmp_path):
+    from msid_tpu.utils.download import verify_downloads, verify_eurosat
+
+    assert not verify_eurosat(tmp_path / "nope")
+    # fake a dataset layout
+    for cls in range(10):
+        d = tmp_path / "data" / f"class_{cls}"
+        d.mkdir(parents=True)
+        (d / "tile.tif").write_bytes(b"II*\x00" + b"\x00" * 16)
+    assert verify_eurosat(tmp_path / "data")
+    report = verify_downloads({"data": {"root_dir": str(tmp_path / "data")},
+                               "model": {"encoder": {"pretrained_path": None}}})
+    assert report["dataset_present"] and not report["weights_present"]
+
+
+def test_inspect_checkpoint_orbax(tmp_path):
+    from msid_tpu.utils.download import inspect_checkpoint
+
+    (tmp_path / "3").mkdir()
+    (tmp_path / "7").mkdir()
+    info = inspect_checkpoint(tmp_path)
+    assert info["format"] == "orbax" and info["steps"] == [3, 7]
