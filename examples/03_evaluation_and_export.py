@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Evaluation + deployment walkthrough (reference
+notebooks/03_evaluation.ipynb): checkpoint eval with on-device metrics,
+visual + spectral analysis, StableHLO export with numerical verification,
+inference benchmark, evaluation_results.json.
+
+Run:  python examples/03_evaluation_and_export.py --checkpoint <dir> [--device cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="configs/experiments/tiny_cpu.yaml")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--device", default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--output-dir", default="outputs/evaluation")
+    args = p.parse_args()
+
+    if args.device:
+        from msid_tpu.utils.setup import setup_device
+
+        setup_device(args.device)
+
+    import jax
+    import jax.numpy as jnp
+
+    from msid_tpu.data import get_dataloaders
+    from msid_tpu.utils.setup import create_model_from_config, setup_config
+
+    config = setup_config(args.config)
+    config["model"]["encoder"]["pretrained_path"] = None
+    if args.synthetic:
+        config.setdefault("data", {})["root_dir"] = "/nonexistent"
+
+    model, variables, _ = create_model_from_config(config)
+    if args.checkpoint:
+        from msid_tpu.training import TrainState, build_optimizer_from_config
+        from msid_tpu.utils.checkpointing import CheckpointManager
+
+        tx, _ = build_optimizer_from_config(config, variables["params"])
+        mgr = CheckpointManager(args.checkpoint)
+        out = mgr.load_best(target=TrainState.create(variables, tx))
+        if out:
+            variables = out[0].variables
+            print(f"restored best checkpoint (step {out[2]})")
+
+    # -- 1. metric evaluation ------------------------------------------
+    from msid_tpu.ops.noise import NoiseConfig
+    from msid_tpu.training import evaluate_model
+    from msid_tpu.training.losses import LossConfig
+
+    _, val_loader = get_dataloaders(config)
+    results = evaluate_model(
+        model, variables, val_loader,
+        loss_cfg=LossConfig.from_config(config),
+        noise_cfg=NoiseConfig.from_config(config),
+        image_size=int(config["data"].get("image_size", 192)),
+    )
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "evaluation_results.json").write_text(json.dumps(results, indent=2))
+    print(f"PSNR {results['psnr']:.2f} dB, SSIM {results['ssim']:.4f}, "
+          f"SAM {results['sam']:.2f} deg")
+
+    # -- 2. visual + spectral analysis ----------------------------------
+    from msid_tpu.utils.visualization import save_restoration_triptychs
+
+    save_restoration_triptychs(
+        model, variables, val_loader, out_dir / "figures",
+        noise_cfg=NoiseConfig.from_config(config),
+        image_size=int(config["data"].get("image_size", 192)), num_samples=3,
+    )
+
+    # -- 3. export + verify ---------------------------------------------
+    from msid_tpu.deployment import (
+        compare_live_vs_exported,
+        export_stablehlo,
+        verify_exported_model,
+    )
+
+    size = int(config["data"].get("image_size", 192))
+    shape = (1, size, size, int(config["data"].get("num_bands", 13)))
+    artifact = export_stablehlo(model, variables, out_dir / "model.stablehlo",
+                                input_shape=shape)
+    ok = verify_exported_model(artifact, input_shape=shape)
+    cmp = compare_live_vs_exported(model, variables, artifact, input_shape=shape)
+    print(f"export verified={ok}, {cmp}")
+
+    # -- 4. inference benchmark ------------------------------------------
+    from msid_tpu.deployment import InferenceSession
+
+    session = InferenceSession(model=model, variables=variables, batch_size=1,
+                               image_size=size, num_bands=shape[3])
+    stats = session.benchmark(warmup_runs=5, benchmark_iterations=20)
+    print(f"b=1 latency: {stats['mean_ms']:.2f} ms ({stats['images_per_sec']:.0f} img/s)")
+
+
+if __name__ == "__main__":
+    main()

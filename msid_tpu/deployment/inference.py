@@ -6,8 +6,8 @@ deploy-ready wrapper exposing `predict` with input validation and a
 `benchmark` (configurable warmup + timed iterations → ms stats, FPS,
 imgs/sec). TPU-native: the "session" is an AOT-lowered XLA executable
 (`jax.jit(...).lower(...).compile()`) — zero Python dispatch overhead in
-the timed loop beyond the executable call, and `block_until_ready`
-replaces CUDA stream sync.
+the timed loop beyond the executable call; a scalar fetch replaces CUDA
+stream sync (see benchmark()).
 """
 
 from __future__ import annotations
@@ -88,13 +88,22 @@ class InferenceSession:
                 )
             )
         )
+        def run_and_wait(x):
+            # Materialize a scalar instead of block_until_ready: on relayed
+            # device transports block_until_ready can return before the
+            # execution actually finishes (observed on the axon relay),
+            # which would report impossible sub-light latencies.
+            y = self._fn(x)
+            float(jnp.sum(y))
+            return y
+
         for _ in range(warmup_runs):
-            jax.block_until_ready(self._fn(x))
+            run_and_wait(x)
 
         times_ms = []
         for _ in range(benchmark_iterations):
             t0 = time.perf_counter()
-            jax.block_until_ready(self._fn(x))
+            run_and_wait(x)
             times_ms.append((time.perf_counter() - t0) * 1e3)
 
         times_ms = np.asarray(times_ms)
