@@ -23,7 +23,7 @@ def main():
     args = p.parse_args()
 
     # -- 1. environment ------------------------------------------------
-    from msid_tpu.utils.setup import setup_config, setup_device
+    from msid_tpu.utils.setup_helpers import setup_config, setup_device
 
     devices = setup_device(args.device)
     print(f"jax devices: {devices}")
@@ -50,7 +50,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from msid_tpu.utils.setup import create_model_from_config, print_config_summary
+    from msid_tpu.utils.setup_helpers import create_model_from_config, print_config_summary
 
     print_config_summary(config)
     model, variables, counts = create_model_from_config(config)

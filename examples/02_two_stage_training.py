@@ -25,7 +25,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def run_stage(config_path, output_dir, synthetic, epochs=None, resume_from=None):
-    from msid_tpu.utils.setup import setup_training_session
+    from msid_tpu.utils.setup_helpers import setup_training_session
 
     session = setup_training_session(config_path, output_dir=output_dir)
     if synthetic:
@@ -59,7 +59,7 @@ def main():
     args = p.parse_args()
 
     if args.device:
-        from msid_tpu.utils.setup import setup_device
+        from msid_tpu.utils.setup_helpers import setup_device
 
         setup_device(args.device)
 

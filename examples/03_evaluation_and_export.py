@@ -27,7 +27,7 @@ def main():
     args = p.parse_args()
 
     if args.device:
-        from msid_tpu.utils.setup import setup_device
+        from msid_tpu.utils.setup_helpers import setup_device
 
         setup_device(args.device)
 
@@ -35,7 +35,7 @@ def main():
     import jax.numpy as jnp
 
     from msid_tpu.data import get_dataloaders
-    from msid_tpu.utils.setup import create_model_from_config, setup_config
+    from msid_tpu.utils.setup_helpers import create_model_from_config, setup_config
 
     config = setup_config(args.config)
     config["model"]["encoder"]["pretrained_path"] = None

@@ -9,12 +9,20 @@ from msid_tpu.deployment.export import (
     verify_exported_model,
 )
 from msid_tpu.deployment.inference import InferenceSession
+from msid_tpu.deployment.quantize import (
+    dequantize_params,
+    quantization_report,
+    quantize_params,
+)
 from msid_tpu.deployment.sliding_window import make_scene_step, restore_scene
 
 __all__ = [
     "ComparisonResult",
     "InferenceSession",
+    "dequantize_params",
     "make_scene_step",
+    "quantization_report",
+    "quantize_params",
     "restore_scene",
     "compare_live_vs_exported",
     "export_stablehlo",

@@ -118,9 +118,21 @@ def init_model(
     model: nn.Module, key: jax.Array, batch_size: int = 1
 ) -> dict:
     """Initialize variables with a dummy batch; returns the full variables
-    pytree ({'params', 'batch_stats'?})."""
+    pytree ({'params', 'batch_stats'?}).
+
+    Init runs on CPU and the result is transferred: initialization traces a
+    full forward pass, and compiling that program on the accelerator is
+    pure warm-up waste (measured 169 s on a tunneled v5e vs seconds on
+    host) — the training/eval step compiles its own program anyway."""
     dummy = jnp.zeros(
         (batch_size, model.image_size, model.image_size, model.in_channels),
         jnp.float32,
     )
-    return model.init({"params": key}, dummy, train=False)
+    cpu = jax.devices("cpu")[0] if jax.default_backend() != "cpu" else None
+    if cpu is None:
+        return model.init({"params": key}, dummy, train=False)
+    with jax.default_device(cpu):
+        variables = model.init({"params": key}, dummy, train=False)
+    # explicit target: device_put without one is identity for arrays
+    # already committed to the CPU
+    return jax.device_put(variables, jax.devices()[0])

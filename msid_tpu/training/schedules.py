@@ -11,6 +11,9 @@ here the unit is explicit and configurable via ``steps_per_cycle_unit``).
 
 from __future__ import annotations
 
+import math
+
+import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -20,31 +23,38 @@ def cosine_warm_restarts(
     t_0: int,
     t_mult: int = 1,
     eta_min: float = 0.0,
-    max_steps: int = 1_000_000,
     steps_per_cycle_unit: int = 1,
 ) -> optax.Schedule:
     """SGDR schedule: cosine from base_lr→eta_min over T_0 units, restart,
-    next cycle T_0*t_mult units, etc.
+    next cycle T_0*t_mult units, etc. (torch CosineAnnealingWarmRestarts
+    semantics).
+
+    Closed form in the step counter — NOT optax.join_schedules: with
+    t_mult=1 a joined schedule needs max_steps/T_0 branches (the
+    quick_test config, T_0=5, would build 200k schedules and stall
+    tracing for tens of minutes).
 
     Args:
         steps_per_cycle_unit: multiply cycle lengths by this (e.g. pass
             steps_per_epoch to express T_0 in epochs).
     """
-    schedules, boundaries = [], []
-    total = 0
-    cycle = max(1, int(t_0)) * max(1, int(steps_per_cycle_unit))
-    while total < max_steps:
-        schedules.append(
-            optax.cosine_decay_schedule(
-                init_value=base_lr,
-                decay_steps=cycle,
-                alpha=eta_min / base_lr if base_lr > 0 else 0.0,
-            )
-        )
-        total += cycle
-        boundaries.append(total)
-        cycle = cycle * max(1, int(t_mult))
-    return optax.join_schedules(schedules, boundaries[:-1])
+    t0 = float(max(1, int(t_0)) * max(1, int(steps_per_cycle_unit)))
+    m = float(max(1, int(t_mult)))
+    span = base_lr - eta_min
+
+    def schedule(step):
+        t = jnp.asarray(step, jnp.float32)
+        if m == 1.0:
+            frac = jnp.mod(t, t0) / t0
+        else:
+            # cycle n starts at t0*(m^n - 1)/(m - 1) and lasts t0*m^n
+            n = jnp.floor(jnp.log(t / t0 * (m - 1.0) + 1.0) / math.log(m))
+            start = t0 * (jnp.power(m, n) - 1.0) / (m - 1.0)
+            length = t0 * jnp.power(m, n)
+            frac = (t - start) / length
+        return eta_min + span * 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+
+    return schedule
 
 
 def build_schedule(config: dict, steps_per_epoch: int = 1) -> optax.Schedule:

@@ -108,6 +108,6 @@ class step_timer:
 
 def live_memory() -> dict:
     """Per-device HBM stats (bytes in use / peak / limit) when exposed."""
-    from msid_tpu.utils.setup import device_memory_stats
+    from msid_tpu.utils.setup_helpers import device_memory_stats
 
     return device_memory_stats()

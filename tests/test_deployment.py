@@ -138,7 +138,7 @@ def test_save_restoration_triptychs(tmp_path, model_and_vars):
 
 
 def test_estimate_memory_reasonable():
-    from msid_tpu.utils.setup import estimate_memory
+    from msid_tpu.utils.setup_helpers import estimate_memory
 
     mem = estimate_memory(
         {"training": {"micro_batch_size": 8}, "data": {"image_size": 192},
@@ -171,3 +171,40 @@ def test_inspect_checkpoint_orbax(tmp_path):
     (tmp_path / "7").mkdir()
     info = inspect_checkpoint(tmp_path)
     assert info["format"] == "orbax" and info["steps"] == [3, 7]
+
+
+# ---------------- int8 weight quantization ----------------
+
+
+def test_quantize_roundtrip_small_error(model_and_vars):
+    from msid_tpu.deployment.quantize import (
+        dequantize_params,
+        quantization_report,
+        quantize_params,
+    )
+
+    model, variables = model_and_vars
+    qtree, stree = quantize_params(variables["params"])
+    # kernels became int8
+    k = qtree["encoder"]["patch_embed"]["proj"]["kernel"]
+    assert np.asarray(k).dtype == np.int8
+    # biases untouched
+    b = qtree["encoder"]["patch_embed"]["proj"]["bias"]
+    assert np.asarray(b).dtype == np.float32
+
+    hat = dequantize_params(qtree, stree)
+    for a, b in zip(jax.tree_util.tree_leaves(variables["params"]),
+                    jax.tree_util.tree_leaves(hat)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape
+        if a.size:
+            # per-channel int8: relative error bounded by scale/2 ≈ max|w|/254
+            assert np.abs(a - b).max() <= np.abs(a).max() / 127 + 1e-7
+
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (1, 64, 64, 13)).astype(np.float32))
+    report = quantization_report(variables, model, x)
+    assert report["compression"] > 3.5
+    # untrained random weights + GroupNorm amplify int8 rounding; output
+    # range is ±3, so <1.0 max error still shows the wiring is sane
+    assert report["max_abs_err"] < 1.0
+    assert report["mean_abs_err"] < 0.1

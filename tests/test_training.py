@@ -42,6 +42,35 @@ def test_sgdr_restarts():
     assert float(sched(29)) < 1e-4
 
 
+def test_sgdr_torch_parity():
+    """Closed-form SGDR must match torch CosineAnnealingWarmRestarts
+    exactly (incl. restarts at 10/30/70 with T_mult=2)."""
+    torch = pytest.importorskip("torch")
+
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=1e-3)
+    ts = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(
+        opt, T_0=10, T_mult=2, eta_min=1e-6
+    )
+    ours = cosine_warm_restarts(1e-3, 10, 2, 1e-6)
+    for step in range(100):
+        assert float(ours(step)) == pytest.approx(ts.get_last_lr()[0], abs=1e-9)
+        ts.step()
+
+
+def test_sgdr_t_mult_1_is_cheap():
+    """T_mult=1 must not enumerate cycles (the join_schedules trap that
+    stalled compilation for ~35 min on quick_test)."""
+    import time
+
+    t0 = time.perf_counter()
+    sched = cosine_warm_restarts(1e-3, 5, 1, 1e-6)
+    vals = [float(sched(s)) for s in (0, 4, 5, 1_000_000)]
+    assert time.perf_counter() - t0 < 5.0
+    assert vals[0] == pytest.approx(1e-3)
+    assert vals[2] == pytest.approx(1e-3)  # restart
+    assert vals[1] < 1e-4
+
+
 def test_build_schedule_from_config():
     cfg = {
         "training": {
