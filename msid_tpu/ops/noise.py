@@ -153,5 +153,7 @@ def sample_keys_for_epoch(
 ) -> jnp.ndarray:
     """Deterministic per-batch corruption keys for an epoch: fold in the
     epoch, then split per batch. Eval uses epoch=0 for fixed corruption."""
-    epoch_key = jax.random.fold_in(base_key, epoch)
+    # uint32 fold value: a Python int would bake into the program as a
+    # constant and force a fresh compile per epoch value.
+    epoch_key = jax.random.fold_in(base_key, jnp.uint32(epoch))
     return jax.random.split(epoch_key, num_batches)

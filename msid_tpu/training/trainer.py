@@ -80,9 +80,14 @@ class Trainer:
         if noise_impl == "auto":
             noise_impl = default_noise_impl()
 
+        # donate=True: the previous TrainState's ~2.3 GB of buffers are
+        # reused for the new state instead of copied. The old state object
+        # is invalid after each step — the Trainer always replaces
+        # self.state, so nothing else may hold it.
         self.train_step = train_step or make_train_step(
             model, tx, self.loss_cfg, self.noise_cfg,
             accum_steps=accum, image_size=image_size, noise_impl=noise_impl,
+            donate=True,
         )
         self.eval_step = eval_step or make_eval_step(
             model, self.loss_cfg, self.noise_cfg, image_size=image_size,
@@ -107,12 +112,18 @@ class Trainer:
     def train_epoch(self, loader, epoch: int) -> Dict[str, float]:
         """One epoch; returns {'loss','skipped','steps'}. Metrics stay on
         device until the end-of-epoch sync."""
-        base_key = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch)
+        # NB: fold_in with a *Python int* bakes the value into the program as
+        # a constant → a new tiny compile per distinct value (measured ~1-2 s
+        # each through a remote-compile transport, dominating short epochs).
+        # Array-typed fold values hit the jit cache once.
+        base_key = jax.random.fold_in(
+            jax.random.PRNGKey(self.seed), jnp.uint32(epoch)
+        )
         skips_at_start = int(jax.device_get(self.state.nan_skips))
         losses = []
         t0 = time.time()
         for i, batch in enumerate(loader):
-            key = jax.random.fold_in(base_key, i)
+            key = jax.random.fold_in(base_key, jnp.uint32(i))
             self.state, metrics = self.train_step(self.state, jnp.asarray(batch), key)
             losses.append(metrics["loss"])
 
@@ -150,7 +161,7 @@ class Trainer:
         variables = self.state.variables
         eval_base = jax.random.PRNGKey(self.eval_seed)
         for i, batch in enumerate(loader):
-            key = jax.random.fold_in(eval_base, i)
+            key = jax.random.fold_in(eval_base, jnp.uint32(i))
             s = self.eval_step(variables, jnp.asarray(batch), key)
             sums = s if sums is None else jax.tree_util.tree_map(jnp.add, sums, s)
         if sums is None:
@@ -234,6 +245,9 @@ class Trainer:
                             break
         except KeyboardInterrupt:
             logger.warning("Training interrupted — returning partial history")
+        finally:
+            if self.ckpt is not None and hasattr(self.ckpt, "wait_until_finished"):
+                self.ckpt.wait_until_finished()  # drain async saves
         return self.history
 
     # ---------------- resume ----------------

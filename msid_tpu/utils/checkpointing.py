@@ -37,6 +37,7 @@ class CheckpointManager:
         metric: str = "val_psnr",
         mode: str = "max",
         save_every: int = 1,
+        async_save: bool = True,
     ):
         self.directory = Path(directory).absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
@@ -47,12 +48,15 @@ class CheckpointManager:
         def best_fn(metrics: dict) -> float:
             return float(metrics.get(self.metric, float("-inf") if mode == "max" else float("inf")))
 
+        # Async: the ~1.5 GB full-size train state takes ~3 min to write
+        # synchronously; async overlaps the write with the next epochs and
+        # only `close()`/`wait_until_finished` blocks on it.
         options = ocp.CheckpointManagerOptions(
             max_to_keep=keep_top_k,
             best_fn=best_fn,
             best_mode=mode,
             create=True,
-            enable_async_checkpointing=False,
+            enable_async_checkpointing=async_save,
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
@@ -67,10 +71,13 @@ class CheckpointManager:
             metadata=ocp.args.JsonSave(metadata or {}),
         )
         saved = self._mgr.save(step, args=args, metrics=metrics, force=force)
-        self._mgr.wait_until_finished()
         return saved
 
+    def wait_until_finished(self) -> None:
+        self._mgr.wait_until_finished()
+
     def _restore(self, step: int, target: Any = None):
+        self._mgr.wait_until_finished()  # drain any in-flight async save
         if target is not None:
             args = ocp.args.Composite(
                 state=ocp.args.StandardRestore(target),
