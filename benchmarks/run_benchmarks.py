@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Benchmark suite covering the five BASELINE.json configs:
+
+  1. single 13-band 192x192 tile through encoder+decoder (b=1 latency)
+  2. batched eval with on-device PSNR/SSIM/SAM reductions
+  3. noise-sim + resize input-pipeline throughput (fused on-device)
+  4. transfer-learning train step (frozen blocks 0-5, bf16+remat, batch 64)
+  5. sliding-window full-scene restoration throughput
+
+Prints one JSON object per line; writes the full report to
+benchmarks/results.json. All timings use the value-fetch barrier
+(block_until_ready alone can return early on relayed transports).
+
+Run:  python benchmarks/run_benchmarks.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REFERENCE = {  # BASELINE.md (RTX 4050)
+    "single_image_ms": 11.7,
+    "train_img_per_sec": 17.0,
+}
+
+
+def fetch(y):
+    import jax.numpy as jnp
+
+    float(jnp.sum(y if not isinstance(y, (tuple, list, dict)) else
+                  next(iter(y.values())) if isinstance(y, dict) else y[0]))
+
+
+def timeit(fn, *args, iters=20, warmup=3):
+    for _ in range(warmup):
+        fetch(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = fn(*args)
+    fetch(y)
+    return (time.perf_counter() - t0) / iters * 1000.0
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true", help="fewer iterations")
+    args = p.parse_args()
+    iters = 5 if args.quick else 20
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from msid_tpu.models import SatMAERestoration, init_model
+    from msid_tpu.ops.metrics import batch_metric_sums
+    from msid_tpu.ops.noise import NoiseConfig, apply_sensor_noise
+    from msid_tpu.ops.preprocess import preprocess_tiles
+    from msid_tpu.training.losses import LossConfig
+    from msid_tpu.training.optim import build_optimizer
+    from msid_tpu.training.train_state import TrainState, make_eval_step, make_train_step
+
+    results = {"device": str(jax.devices()[0]), "backend": jax.default_backend()}
+    rng = np.random.default_rng(0)
+
+    model = SatMAERestoration(dtype=jnp.bfloat16, gradient_checkpointing=False)
+    variables = init_model(model, jax.random.PRNGKey(0))
+    forward = jax.jit(lambda v, x: model.apply(v, x, train=False))
+
+    # -- 1. single-image latency ---------------------------------------
+    x1 = jnp.asarray(rng.normal(size=(1, 192, 192, 13)), jnp.bfloat16)
+    ms = timeit(forward, variables, x1, iters=iters)
+    results["1_single_image_ms"] = round(ms, 3)
+    results["1_vs_reference"] = round(REFERENCE["single_image_ms"] / ms, 2)
+    print(json.dumps({"bench": "single_image", "ms": round(ms, 3),
+                      "vs_ref": results["1_vs_reference"]}))
+
+    # -- 2. batched eval with on-device metrics --------------------------
+    eval_step = make_eval_step(model, LossConfig(), NoiseConfig(), image_size=192)
+    raw = jnp.asarray(rng.uniform(0, 10000, (64, 64, 64, 13)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+
+    def eval_call(v, b, k):
+        return eval_step(v, b, k)
+
+    ms = timeit(eval_call, variables, raw, key, iters=iters)
+    results["2_eval_ms_per_batch64"] = round(ms, 2)
+    results["2_eval_img_per_sec"] = round(64 * 1000 / ms, 1)
+    print(json.dumps({"bench": "batched_eval", "img_per_sec": results["2_eval_img_per_sec"]}))
+
+    # -- 3. input pipeline: preprocess + corruption ----------------------
+    @jax.jit
+    def pipeline(b, k):
+        clean = preprocess_tiles(b, 192)
+        return apply_sensor_noise(k, clean, NoiseConfig(enable_striping=True))
+
+    ms = timeit(pipeline, raw, key, iters=iters)
+    results["3_pipeline_ms_per_batch64"] = round(ms, 2)
+    results["3_pipeline_img_per_sec"] = round(64 * 1000 / ms, 1)
+    print(json.dumps({"bench": "input_pipeline", "img_per_sec": results["3_pipeline_img_per_sec"]}))
+
+    # -- 4. transfer-learning train step ---------------------------------
+    train_model = SatMAERestoration(dtype=jnp.bfloat16)  # remat on
+    tvars = init_model(train_model, jax.random.PRNGKey(0))
+    tx = build_optimizer(
+        optax.constant_schedule(1e-4), freeze_layers=(0, 1, 2, 3, 4, 5),
+        params=tvars["params"],
+    )
+    state = TrainState.create(tvars, tx)
+    step = make_train_step(train_model, tx, LossConfig(), NoiseConfig(),
+                           accum_steps=8, image_size=192)
+
+    s, m = step(state, raw, key)
+    fetch(m["loss"])
+    t0 = time.perf_counter()
+    n = max(3, iters // 2)
+    for _ in range(n):
+        s, m = step(s, raw, key)
+    fetch(m["loss"])
+    ms = (time.perf_counter() - t0) / n * 1000
+    results["4_train_ms_per_step"] = round(ms, 1)
+    results["4_train_img_per_sec"] = round(64 * 1000 / ms, 1)
+    results["4_vs_reference"] = round(results["4_train_img_per_sec"] / REFERENCE["train_img_per_sec"], 2)
+    print(json.dumps({"bench": "train_step", "img_per_sec": results["4_train_img_per_sec"],
+                      "vs_ref": results["4_vs_reference"]}))
+
+    # -- 5. sliding-window full scene -------------------------------------
+    from msid_tpu.deployment.sliding_window import make_scene_step, restore_scene
+
+    scene = rng.uniform(0, 10000, (640, 640, 13)).astype(np.float32)
+    scene_step = make_scene_step(model, variables, window=64, model_size=192)
+    # warm (compile) once — real scenes are ~10980² where compile amortizes
+    restore_scene(model, variables, scene[:128, :128], window=64, overlap=16,
+                  model_size=192, batch_size=64, step=scene_step)
+    t0 = time.perf_counter()
+    out = restore_scene(model, variables, scene, window=64, overlap=16,
+                        model_size=192, batch_size=64, step=scene_step)
+    dt = time.perf_counter() - t0
+    mpix = scene.shape[0] * scene.shape[1] / 1e6
+    results["5_scene_mpix_per_sec"] = round(mpix / dt, 2)
+    results["5_scene_s_per_640px"] = round(dt, 2)
+    print(json.dumps({"bench": "full_scene", "mpix_per_sec": results["5_scene_mpix_per_sec"]}))
+
+    out_path = Path(__file__).parent / "results.json"
+    out_path.write_text(json.dumps(results, indent=2))
+    print(json.dumps({"report": str(out_path)}))
+
+
+if __name__ == "__main__":
+    main()

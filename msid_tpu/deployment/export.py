@@ -4,9 +4,16 @@ Capability parity with the reference deployment layer
 (`/root/reference/src/deployment/export_onnx.py:19-337`): serialize the
 inference function to a portable artifact, verify it runs, and numerically
 compare the deployed artifact against the live model (the reference's
-PyTorch↔ONNX comparator, export_onnx.py:172-271). On TPU the portable
-format is StableHLO bytes from `jax.export`; dynamic batch is expressed
-with a symbolic batch dimension.
+PyTorch↔ONNX comparator, export_onnx.py:172-271).
+
+Artifact layout (a directory):
+    module.stablehlo   serialized jax.export module with weights as ARGUMENTS
+    params.npz         the weight pytree, '/'-joined keys
+
+Weights are arguments, not baked constants: constants would bloat the
+module by ~190 MB for the full model, prevent buffer sharing/donation at
+run time, and oversize remote-compile requests (observed HTTP 413).
+Dynamic batch is expressed with a symbolic batch dimension.
 """
 
 from __future__ import annotations
@@ -22,14 +29,43 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
+MODULE_FILE = "module.stablehlo"
+PARAMS_FILE = "params.npz"
 
-def make_inference_fn(model, variables: dict):
-    """Pure inference closure: NHWC noisy batch → restored batch."""
-    def infer(x: jnp.ndarray) -> jnp.ndarray:
+
+def make_inference_fn(model):
+    """Pure inference fn: (variables, NHWC noisy batch) → restored batch.
+
+    Weights are an argument by design — never close over them (see module
+    docstring)."""
+
+    def infer(variables: dict, x: jnp.ndarray) -> jnp.ndarray:
         out = model.apply(variables, x.astype(model.dtype), train=False)
         return out.astype(jnp.float32)
 
     return infer
+
+
+def _flatten_variables(variables: dict, prefix: str = "") -> dict:
+    flat = {}
+    for k, v in variables.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            flat.update(_flatten_variables(v, key))
+        else:
+            flat[key] = np.asarray(v)
+    return flat
+
+
+def _unflatten_variables(flat: dict) -> dict:
+    tree: dict = {}
+    for key, value in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(value)
+    return tree
 
 
 def export_stablehlo(
@@ -39,39 +75,59 @@ def export_stablehlo(
     input_shape: tuple = (1, 192, 192, 13),
     dynamic_batch: bool = True,
 ) -> Path:
-    """Serialize the jitted inference fn to a StableHLO artifact on disk.
+    """Serialize the inference fn + weights to an artifact directory.
 
     Mirrors `export_to_onnx` (export_onnx.py:19-83): fixed spatial shape,
     optionally-symbolic batch dimension.
     """
     from jax import export as jax_export
 
-    infer = jax.jit(make_inference_fn(model, variables))
+    infer = jax.jit(make_inference_fn(model))
     if dynamic_batch:
         scope = jax_export.SymbolicScope()
         (b,) = jax_export.symbolic_shape("b", scope=scope)
         shape = (b, *input_shape[1:])
     else:
         shape = tuple(input_shape)
+
+    var_shapes = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables
+    )
     exported = jax_export.export(infer)(
-        jax.ShapeDtypeStruct(shape, jnp.float32)
+        var_shapes, jax.ShapeDtypeStruct(shape, jnp.float32)
     )
     blob = exported.serialize()
 
-    output_path = Path(output_path)
-    output_path.parent.mkdir(parents=True, exist_ok=True)
-    output_path.write_bytes(blob)
-    logger.info("Exported StableHLO artifact: %s (%.2f MB)", output_path,
-                len(blob) / 1e6)
-    return output_path
+    out_dir = Path(output_path)
+    if out_dir.suffix:  # a file-like path was given; use it as a directory
+        out_dir = out_dir.with_suffix("")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / MODULE_FILE).write_bytes(blob)
+    np.savez(out_dir / PARAMS_FILE, **_flatten_variables(jax.device_get(variables)))
+
+    total_mb = sum(f.stat().st_size for f in out_dir.iterdir()) / 1e6
+    logger.info("Exported StableHLO artifact: %s (%.2f MB, module %.2f MB)",
+                out_dir, total_mb, len(blob) / 1e6)
+    return out_dir
 
 
 def load_exported(path: str | Path):
-    """Deserialize a StableHLO artifact back to a callable."""
+    """Load an artifact directory back to a callable ``fn(x) -> y``
+    (weights restored from the payload and bound)."""
     from jax import export as jax_export
 
-    exported = jax_export.deserialize(Path(path).read_bytes())
-    return exported.call
+    path = Path(path)
+    if path.is_file():  # bare module without payload (legacy/raw)
+        exported = jax_export.deserialize(path.read_bytes())
+        return exported.call
+    exported = jax_export.deserialize((path / MODULE_FILE).read_bytes())
+    with np.load(path / PARAMS_FILE) as z:
+        variables = _unflatten_variables({k: z[k] for k in z.files})
+
+    def call(x):
+        return exported.call(variables, x)
+
+    return call
 
 
 def verify_exported_model(
@@ -128,7 +184,7 @@ def compare_live_vs_exported(
     x = jax.random.uniform(
         jax.random.PRNGKey(seed), input_shape, jnp.float32, minval=-2.0, maxval=2.0
     )
-    live = np.asarray(jax.jit(make_inference_fn(model, variables))(x))
+    live = np.asarray(jax.jit(make_inference_fn(model))(variables, x))
     deployed = np.asarray(load_exported(path)(x))
 
     diff = np.abs(live - deployed)

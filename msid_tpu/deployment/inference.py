@@ -49,13 +49,19 @@ class InferenceSession:
             self._fn = load_exported(artifact_path)
             self._compiled = None
         elif model is not None and variables is not None:
-            infer = make_inference_fn(model, variables)
-            donate = (0,) if donate_input else ()
+            # Weights are a call argument (never baked as constants) and are
+            # bound here after AOT compilation.
+            infer = make_inference_fn(model)
+            donate = (1,) if donate_input else ()
             jitted = jax.jit(infer, donate_argnums=donate)
+            var_shapes = jax.tree_util.tree_map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables
+            )
             self._compiled = jitted.lower(
-                jax.ShapeDtypeStruct(self.input_shape, jnp.float32)
+                var_shapes, jax.ShapeDtypeStruct(self.input_shape, jnp.float32)
             ).compile()
-            self._fn = self._compiled
+            variables = jax.device_put(variables)
+            self._fn = lambda x: self._compiled(variables, x)
         else:
             raise ValueError("Provide model+variables or artifact_path")
 

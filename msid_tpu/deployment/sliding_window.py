@@ -49,11 +49,18 @@ def _window_origins(size: int, window: int, stride: int) -> list:
 
 def make_scene_step(model, variables, window: int, model_size: int):
     """Jitted per-batch pipeline: raw windows -> preprocess -> denoise ->
-    back to native window resolution, in model range."""
+    back to native window resolution, in model range.
+
+    ``variables`` is passed as a jit *argument* (bound here with partial),
+    never closed over: a closure would bake ~190 MB of weights into the
+    program as constants — enormous executables, and remote-compile
+    transports reject the oversized request outright (HTTP 413)."""
+    import functools
+
     from msid_tpu.ops.preprocess import preprocess_tiles
 
     @jax.jit
-    def step(batch):
+    def step(variables, batch):
         clean_in = preprocess_tiles(batch, model_size)
         out = model.apply(variables, clean_in, train=False).astype(jnp.float32)
         if model_size != window:
@@ -63,7 +70,7 @@ def make_scene_step(model, variables, window: int, model_size: int):
             )
         return out
 
-    return step
+    return functools.partial(step, variables)
 
 
 def restore_scene(
@@ -75,6 +82,7 @@ def restore_scene(
     model_size: int = 192,
     batch_size: int = 64,
     progress: Optional[callable] = None,
+    step: Optional[callable] = None,
 ) -> np.ndarray:
     """Denoise a full [H, W, C] scene; returns fp32 [H, W, C] in model range
     (use `msid_tpu.ops.preprocess.from_model_range` for reflectance).
@@ -85,6 +93,8 @@ def restore_scene(
         overlap: pixels of overlap between adjacent windows.
         model_size: the model's input resolution (window is upsampled to it).
         batch_size: windows per device step (static shape; last batch pads).
+        step: reuse a `make_scene_step` result across calls (skips the
+            per-call jit compile when restoring many scenes).
     """
     h, w, c = scene.shape
     stride = window - overlap
@@ -92,7 +102,8 @@ def restore_scene(
     xs = _window_origins(w, window, stride)
     origins = [(y, x) for y in ys for x in xs]
 
-    step = make_scene_step(model, variables, window, model_size)
+    if step is None:
+        step = make_scene_step(model, variables, window, model_size)
     weights = _blend_weights(window, overlap)
 
     out_sum = np.zeros((h, w, c), np.float32)

@@ -63,3 +63,40 @@ def preprocess_tiles(x: jnp.ndarray, target_size: int = 192) -> jnp.ndarray:
 def from_model_range(x: jnp.ndarray) -> jnp.ndarray:
     """Inverse affine back to [0,1] reflectance for visualization/export."""
     return jnp.clip(x.astype(jnp.float32) * 0.25 + 0.5, 0.0, 1.0)
+
+
+def random_band_permutation(
+    key: jax.Array, x: jnp.ndarray, prob: float = 0.5
+) -> jnp.ndarray:
+    """Spectral-augmentation: permute the band axis of each sample with
+    probability ``prob`` (reference `RandomBandPermutation`,
+    transforms.py:166-187 — there a single draw per sample; here vectorized
+    per batch with explicit keys)."""
+    b, _, _, c = x.shape
+    k_gate, k_perm = jax.random.split(key)
+    gate = jax.random.uniform(k_gate, (b,)) < prob
+    perms = jax.vmap(lambda k: jax.random.permutation(k, c))(
+        jax.random.split(k_perm, b)
+    )
+    identity = jnp.arange(c)
+    idx = jnp.where(gate[:, None], perms, identity[None, :])  # [B, C]
+    return jnp.take_along_axis(x, idx[:, None, None, :], axis=3)
+
+
+def normalize_spectral(
+    x: jnp.ndarray, mean: jnp.ndarray, std: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-band standardization (reference `NormalizeSpectral`,
+    transforms.py:190-223). mean/std are [C]."""
+    mean = jnp.asarray(mean, jnp.float32).reshape(1, 1, 1, -1)
+    std = jnp.asarray(std, jnp.float32).reshape(1, 1, 1, -1)
+    return (x.astype(jnp.float32) - mean) / jnp.maximum(std, 1e-8)
+
+
+def denormalize_spectral(
+    x: jnp.ndarray, mean: jnp.ndarray, std: jnp.ndarray
+) -> jnp.ndarray:
+    """Inverse of `normalize_spectral` (transforms.py:214-223)."""
+    mean = jnp.asarray(mean, jnp.float32).reshape(1, 1, 1, -1)
+    std = jnp.asarray(std, jnp.float32).reshape(1, 1, 1, -1)
+    return x.astype(jnp.float32) * std + mean

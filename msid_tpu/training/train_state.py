@@ -56,6 +56,43 @@ class TrainState(struct.PyTreeNode):
         return v
 
 
+class _LazyAOT:
+    """Call-compatible wrapper that AOT-compiles a jitted fn on first use,
+    keyed by input (shape, dtype) only.
+
+    Why: on TPU, `jax.jit` caches on concrete layouts too — chaining a
+    step's output state back in (its arrays carry compiler-chosen layouts)
+    triggered a SECOND full ~65 s compile on the next call. An AOT
+    executable instead relayouts mismatched inputs with cheap copies.
+    """
+
+    def __init__(self, jitted):
+        self._jitted = jitted
+        self._cache: dict = {}
+
+    @staticmethod
+    def _key(args):
+        leaves, treedef = jax.tree_util.tree_flatten(args)
+        return (
+            treedef,
+            tuple(
+                (getattr(l, "shape", None), str(getattr(l, "dtype", type(l))))
+                for l in leaves
+            ),
+        )
+
+    def lower(self, *args, **kw):
+        return self._jitted.lower(*args, **kw)
+
+    def __call__(self, *args):
+        key = self._key(args)
+        compiled = self._cache.get(key)
+        if compiled is None:
+            compiled = self._jitted.lower(*args).compile()
+            self._cache[key] = compiled
+        return compiled(*args)
+
+
 def _tree_where(pred, a, b):
     return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
 
@@ -177,13 +214,13 @@ def make_train_step(
 
         replicated = NamedSharding(mesh, P())
         batch_sharding = NamedSharding(mesh, P(data_axis))
-        return jax.jit(
+        return _LazyAOT(jax.jit(
             train_step,
             in_shardings=(replicated, batch_sharding, replicated),
             out_shardings=(replicated, replicated),
             donate_argnums=donate_argnums,
-        )
-    return jax.jit(train_step, donate_argnums=donate_argnums)
+        ))
+    return _LazyAOT(jax.jit(train_step, donate_argnums=donate_argnums))
 
 
 def make_eval_step(
@@ -222,9 +259,9 @@ def make_eval_step(
 
         replicated = NamedSharding(mesh, P())
         batch_sharding = NamedSharding(mesh, P(data_axis))
-        return jax.jit(
+        return _LazyAOT(jax.jit(
             eval_step,
             in_shardings=(replicated, batch_sharding, replicated),
             out_shardings=replicated,
-        )
-    return jax.jit(eval_step)
+        ))
+    return _LazyAOT(jax.jit(eval_step))

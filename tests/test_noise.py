@@ -190,3 +190,31 @@ def test_pallas_noise_statistics_tpu():
     y = np.asarray(apply_sensor_noise_pallas(jnp.int32(7), ones, NoiseConfig()))
     dead = np.abs(y).mean(axis=(1, 2)) < 0.1
     assert 1 <= dead.sum() <= 20  # Binomial(104, 0.08): ~8.3 ± 2.8
+
+
+def test_random_band_permutation():
+    from msid_tpu.ops.preprocess import random_band_permutation
+
+    x = jnp.asarray(
+        np.arange(2 * 4 * 4 * 13, dtype=np.float32).reshape(2, 4, 4, 13)
+    )
+    y = np.asarray(random_band_permutation(jax.random.PRNGKey(0), x, prob=1.0))
+    # bands permuted, content preserved per sample
+    for b in range(2):
+        assert sorted(np.asarray(x)[b, 0, 0].tolist()) == sorted(y[b, 0, 0].tolist())
+    # prob=0 → identity
+    y0 = np.asarray(random_band_permutation(jax.random.PRNGKey(0), x, prob=0.0))
+    assert np.array_equal(y0, np.asarray(x))
+
+
+def test_normalize_spectral_roundtrip():
+    from msid_tpu.ops.preprocess import denormalize_spectral, normalize_spectral
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 8, 8, 13)).astype(np.float32))
+    mean = rng.uniform(0.2, 0.6, 13).astype(np.float32)
+    std = rng.uniform(0.1, 0.3, 13).astype(np.float32)
+    z = normalize_spectral(x, mean, std)
+    assert abs(float(z.mean())) < 5.0
+    back = denormalize_spectral(z, mean, std)
+    assert np.allclose(np.asarray(back), np.asarray(x), atol=1e-5)
