@@ -62,6 +62,7 @@ class Trainer:
         self.model = model
         self.tx = tx
         self.state = state
+        self.mesh = None
         self.config = config
         self.loss_cfg = loss_cfg or LossConfig.from_config(config)
         self.noise_cfg = noise_cfg or NoiseConfig.from_config(config)
@@ -80,6 +81,27 @@ class Trainer:
         if noise_impl == "auto":
             noise_impl = default_noise_impl()
 
+        # Mesh data parallelism (SURVEY §5.8 — additive over the reference):
+        # batch sharded over the 'data' axis, state replicated, gradient
+        # all-reduce compiled by XLA. Enabled when >1 device is visible
+        # (or parallel.num_devices requests a subset).
+        par = config.get("parallel", {})
+        requested = int(par.get("num_devices", -1))
+        visible = len(jax.devices())
+        n_devices = visible if requested < 0 else min(requested, visible)
+        if n_devices > 1 and par.get("enabled", True):
+            from msid_tpu.parallel import make_mesh, replicate
+
+            self.mesh = make_mesh(num_devices=n_devices)
+            self.state = replicate(self.state, self.mesh)
+            # On a mesh the batch axis shards across chips — gradient
+            # accumulation is unnecessary; keep the configured accum only
+            # if explicitly forced.
+            if not par.get("keep_grad_accum", False):
+                accum = 1
+                self.accum_steps = 1
+            logger.info("data-parallel mesh over %d devices", n_devices)
+
         # donate=True: the previous TrainState's ~2.3 GB of buffers are
         # reused for the new state instead of copied. The old state object
         # is invalid after each step — the Trainer always replaces
@@ -87,11 +109,11 @@ class Trainer:
         self.train_step = train_step or make_train_step(
             model, tx, self.loss_cfg, self.noise_cfg,
             accum_steps=accum, image_size=image_size, noise_impl=noise_impl,
-            donate=True,
+            donate=True, mesh=self.mesh,
         )
         self.eval_step = eval_step or make_eval_step(
             model, self.loss_cfg, self.noise_cfg, image_size=image_size,
-            noise_impl=noise_impl,
+            noise_impl=noise_impl, mesh=self.mesh,
         )
 
         es = config.get("early_stopping", {})
@@ -109,6 +131,20 @@ class Trainer:
 
     # ---------------- epoch-level ----------------
 
+    def _place_batch(self, batch):
+        """Device placement: sharded over the mesh's data axis, or plain."""
+        if self.mesh is None:
+            return jnp.asarray(batch)
+        from msid_tpu.parallel import shard_batch
+
+        n = self.mesh.devices.size
+        if batch.shape[0] % n != 0:
+            raise ValueError(
+                f"batch size {batch.shape[0]} not divisible by the "
+                f"{n}-device mesh — adjust micro_batch_size/accum"
+            )
+        return shard_batch(np.asarray(batch), self.mesh)
+
     def train_epoch(self, loader, epoch: int) -> Dict[str, float]:
         """One epoch; returns {'loss','skipped','steps'}. Metrics stay on
         device until the end-of-epoch sync."""
@@ -124,7 +160,9 @@ class Trainer:
         t0 = time.time()
         for i, batch in enumerate(loader):
             key = jax.random.fold_in(base_key, jnp.uint32(i))
-            self.state, metrics = self.train_step(self.state, jnp.asarray(batch), key)
+            self.state, metrics = self.train_step(
+                self.state, self._place_batch(batch), key
+            )
             losses.append(metrics["loss"])
 
             # Host syncs only every log_every batches — a per-batch
@@ -162,7 +200,7 @@ class Trainer:
         eval_base = jax.random.PRNGKey(self.eval_seed)
         for i, batch in enumerate(loader):
             key = jax.random.fold_in(eval_base, jnp.uint32(i))
-            s = self.eval_step(variables, jnp.asarray(batch), key)
+            s = self.eval_step(variables, self._place_batch(batch), key)
             sums = s if sums is None else jax.tree_util.tree_map(jnp.add, sums, s)
         if sums is None:
             return {"loss": 0.0, "psnr": 0.0, "ssim": 0.0, "sam": 0.0, "rmse": 0.0}

@@ -1,0 +1,91 @@
+"""Trainer driver: fit loop, mesh auto-DP, checkpoint resume, early stop."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from msid_tpu.models import SatMAERestoration, init_model
+from msid_tpu.training import TrainState, Trainer, build_optimizer
+from msid_tpu.utils.checkpointing import CheckpointManager
+
+SMALL = dict(
+    image_size=64, patch_size=16, embed_dim=64, depth=1, num_heads=2,
+    decoder_channels=(16, 8, 8, 8), gradient_checkpointing=False, norm="group",
+)
+
+CONFIG = {
+    "seed": 0,
+    "data": {"image_size": 64},
+    "training": {"gradient_accumulation_steps": 1, "loss": {"ssim_weight": 0.0}},
+    "noise": {},
+}
+
+
+def _loader(n_batches=2, batch=8, seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.uniform(0, 10000, (batch, 64, 64, 13)).astype(np.float32)
+            for _ in range(n_batches)]
+
+
+def _make_trainer(config=None, manager=None):
+    model = SatMAERestoration(**SMALL)
+    variables = init_model(model, jax.random.PRNGKey(0))
+    tx = build_optimizer(optax.constant_schedule(1e-3), params=variables["params"])
+    state = TrainState.create(variables, tx)
+    return Trainer(model, tx, state, config=config or CONFIG,
+                   checkpoint_manager=manager,
+                   lr_schedule=optax.constant_schedule(1e-3))
+
+
+def test_fit_uses_mesh_and_decreases_loss():
+    trainer = _make_trainer()
+    # 8 virtual CPU devices → auto data-parallel mesh
+    assert trainer.mesh is not None and trainer.mesh.devices.size == 8
+    history = trainer.fit(_loader(3), _loader(1, seed=9), epochs=3)
+    assert len(history["train_loss"]) == 3
+    assert history["train_loss"][-1] < history["train_loss"][0]
+    assert np.isfinite(history["val_psnr"]).all()
+
+
+def test_indivisible_batch_raises():
+    trainer = _make_trainer()
+    with pytest.raises(ValueError, match="not divisible"):
+        trainer.fit(_loader(1, batch=7), _loader(1, batch=8), epochs=1)
+
+
+def test_mesh_disabled_by_config():
+    cfg = dict(CONFIG, parallel={"enabled": False})
+    trainer = _make_trainer(cfg)
+    assert trainer.mesh is None
+    history = trainer.fit(_loader(1), _loader(1), epochs=1)
+    assert len(history["train_loss"]) == 1
+
+
+def test_checkpoint_save_and_resume(tmp_path):
+    mgr = CheckpointManager(tmp_path, keep_top_k=2, metric="val_psnr",
+                            save_every=1)
+    trainer = _make_trainer(manager=mgr)
+    trainer.fit(_loader(2), _loader(1, seed=9), epochs=2)
+    mgr.wait_until_finished()
+    assert mgr.all_steps()
+
+    trainer2 = _make_trainer(manager=CheckpointManager(tmp_path))
+    start = trainer2.load_checkpoint()
+    assert start == 2
+    assert trainer2.history["val_psnr"] == trainer.history["val_psnr"]
+    # resumed state continues training
+    history = trainer2.fit(_loader(2), _loader(1, seed=9), epochs=3,
+                           start_epoch=start)
+    assert len(history["train_loss"]) == 3
+
+
+def test_early_stopping_triggers():
+    cfg = dict(CONFIG, early_stopping={"enabled": True, "patience": 1,
+                                       "min_delta": 100.0})
+    trainer = _make_trainer(cfg)
+    history = trainer.fit(_loader(1), _loader(1, seed=9), epochs=10)
+    # min_delta=100 dB is unreachable → stops after patience+1 epochs
+    assert len(history["train_loss"]) <= 3
