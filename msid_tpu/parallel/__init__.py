@@ -11,8 +11,16 @@ from msid_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from msid_tpu.parallel.tp import (
+    describe_sharding,
+    shard_train_state,
+    spec_for_path,
+)
 
 __all__ = [
+    "describe_sharding",
+    "shard_train_state",
+    "spec_for_path",
     "DATA_AXIS",
     "MODEL_AXIS",
     "batch_sharded",

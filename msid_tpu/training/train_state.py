@@ -209,6 +209,12 @@ def make_train_step(
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()
+    if mesh is not None and dict(mesh.shape).get("model", 1) > 1:
+        # 2-D (data, model) mesh: the caller places the state with the TP
+        # rules (parallel.tp.shard_train_state) and shards the batch; jit
+        # infers in-shardings from the committed arguments and GSPMD
+        # propagates them through grads and the optimizer update.
+        return _LazyAOT(jax.jit(train_step, donate_argnums=donate_argnums))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -208,3 +208,28 @@ def test_quantize_roundtrip_small_error(model_and_vars):
     # range is ±3, so <1.0 max error still shows the wiring is sane
     assert report["max_abs_err"] < 1.0
     assert report["mean_abs_err"] < 0.1
+
+
+# ---------------- notebook helpers ----------------
+
+
+def test_notebook_helpers(tmp_path, model_and_vars):
+    from msid_tpu.data.dataset import SyntheticEuroSAT
+    from msid_tpu.utils import notebook_helpers as nb
+
+    model, variables = model_and_vars
+    ds = SyntheticEuroSAT(num_samples=8, split="train", tile_size=64)
+    info = nb.print_dataset_info(ds)
+    assert info["tile_shape"] == (64, 64, 13)
+
+    batch = np.stack([ds[i] for i in range(2)])
+    nb.visualize_batch(model, variables, batch, image_size=64,
+                       max_samples=2, save_path=tmp_path / "b.png")
+    nb.visualize_noise_impact(batch, image_size=64, save_path=tmp_path / "n.png")
+    nb.explore_dataset(ds, num_samples=2, save_path=tmp_path / "e.png")
+    nb.live_plot_history({"train_loss": [1, 0.5], "val_loss": [1, 0.6],
+                          "val_psnr": [10, 12], "val_ssim": [0.1, 0.2],
+                          "lr": [1e-4, 1e-4]}, save_path=tmp_path / "h.png")
+    for f in ("b.png", "n.png", "e.png", "h.png"):
+        assert (tmp_path / f).stat().st_size > 1000
+    nb.print_evaluation_summary({"psnr": 30.0, "ssim": 0.9, "sam": 2.0})

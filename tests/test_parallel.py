@@ -100,3 +100,60 @@ def test_pad_batch_to_multiple():
     assert n == 13
     same, n2 = pad_batch_to_multiple(np.ones((16, 2)), 8)
     assert same.shape[0] == 16 and n2 == 16
+
+
+# ---------------- tensor parallelism (2-D mesh) ----------------
+
+
+def test_tp_sharding_rules():
+    from jax.sharding import PartitionSpec as P
+
+    from msid_tpu.parallel import make_mesh, shard_train_state
+    from msid_tpu.parallel.tp import describe_sharding
+
+    mesh2d = make_mesh(model_parallel=2)
+    model = SatMAERestoration(**SMALL)
+    variables = init_model(model, jax.random.PRNGKey(0))
+    tx = build_optimizer(optax.constant_schedule(1e-3), params=variables["params"])
+    state = TrainState.create(variables, tx)
+
+    sharded = shard_train_state(state, mesh2d)
+    fc1 = sharded.params["encoder"]["blocks_0"]["mlp"]["fc1"]["kernel"]
+    assert fc1.sharding.spec == P(None, "model")
+    q = sharded.params["encoder"]["blocks_0"]["attn"]["query"]["kernel"]
+    assert q.sharding.spec == P(None, "model", None)
+    # decoder convs replicated
+    pe = sharded.params["encoder"]["pos_embed"]
+    assert pe.sharding.spec == P()
+    # optimizer moments mirror the params sharding
+    desc = describe_sharding(sharded)
+    assert "model-sharded" in desc and not desc.startswith("model-sharded 0.0")
+
+
+def test_tp_train_step_matches_single_device():
+    """(4 data x 2 model) mesh step == single-device step."""
+    from msid_tpu.parallel import make_mesh, replicate, shard_batch, shard_train_state
+
+    mesh2d = make_mesh(model_parallel=2)
+    model = SatMAERestoration(**SMALL)
+    variables = init_model(model, jax.random.PRNGKey(0))
+    tx = build_optimizer(optax.constant_schedule(1e-3), params=variables["params"])
+    batch = np.random.default_rng(7).uniform(0, 10000, (16, 64, 64, 13)).astype(np.float32)
+    key = jax.random.PRNGKey(3)
+
+    single = make_train_step(model, tx, LossConfig(ssim_weight=0.0), NoiseConfig(),
+                             accum_steps=1, image_size=64)
+    s1, m1 = single(TrainState.create(variables, tx), jnp.asarray(batch), key)
+
+    tp_step = make_train_step(model, tx, LossConfig(ssim_weight=0.0), NoiseConfig(),
+                              accum_steps=1, image_size=64, mesh=mesh2d)
+    state = shard_train_state(TrainState.create(variables, tx), mesh2d)
+    s2, m2 = tp_step(state, shard_batch(batch, mesh2d), jax.device_put(key))
+
+    assert float(m1["loss"]) == pytest.approx(float(jax.device_get(m2["loss"])), rel=2e-4)
+    a = np.asarray(jax.device_get(s1.params["encoder"]["blocks_0"]["mlp"]["fc1"]["kernel"]))
+    b = np.asarray(jax.device_get(s2.params["encoder"]["blocks_0"]["mlp"]["fc1"]["kernel"]))
+    assert np.allclose(a, b, atol=1e-4)
+    # the updated fc1 kernel is still model-sharded (no silent gather)
+    spec = s2.params["encoder"]["blocks_0"]["mlp"]["fc1"]["kernel"].sharding.spec
+    assert "model" in str(spec)
