@@ -25,13 +25,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def run_stage(config_path, output_dir, synthetic, epochs=None, resume_from=None):
-    from msid_tpu.utils.setup_helpers import setup_training_session
+    from msid_tpu.utils.setup_helpers import setup_config, setup_training_session
 
-    session = setup_training_session(config_path, output_dir=output_dir)
+    # apply overrides BEFORE the session builds loaders/model
+    config = setup_config(config_path)
     if synthetic:
-        session["config"].setdefault("data", {})["root_dir"] = "/nonexistent"
+        config.setdefault("data", {})["root_dir"] = "/nonexistent"
     if epochs is not None:
-        session["config"]["training"]["epochs"] = epochs
+        config["training"]["epochs"] = epochs
+    session = setup_training_session(config, output_dir=output_dir)
 
     trainer = session["trainer"]
     start = 0

@@ -134,14 +134,15 @@ def create_training_components(config: dict, variables: dict, steps_per_epoch: i
 
 
 def setup_training_session(
-    config_path: str | Path,
+    config_path: str | Path | dict,
     output_dir: str | Path = "outputs",
     seed: Optional[int] = None,
     platform: Optional[str] = None,
 ):
     """Everything `Trainer.fit` needs, in one call
     (reference setup_helpers.py:249-294). Returns a dict with
-    model/variables/state/trainer/loaders/config."""
+    model/variables/state/trainer/loaders/config. ``config_path`` may be
+    an already-loaded (and possibly modified) config dict."""
     import jax
 
     from msid_tpu.data import get_dataloaders
@@ -149,7 +150,10 @@ def setup_training_session(
     from msid_tpu.utils.checkpointing import CheckpointManager
 
     setup_device(platform)
-    config = setup_config(config_path)
+    config = (
+        dict(config_path) if isinstance(config_path, dict)
+        else setup_config(config_path)
+    )
     seed = int(config.get("seed", 42)) if seed is None else seed
 
     train_loader, val_loader = get_dataloaders(config)
