@@ -28,7 +28,7 @@ def main():
 
     from msid_tpu.models import SatMAERestoration, init_model
 
-    batch = 64
+    batch = 128  # throughput saturates at ~128 on v5e (2046 t/s at 256)
     warmup, iters = 3, 20
 
     model = SatMAERestoration(dtype=jnp.bfloat16, gradient_checkpointing=False)
