@@ -26,7 +26,6 @@ Layout: NHWC ``[B, H, W, C]``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

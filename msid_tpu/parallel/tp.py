@@ -22,10 +22,9 @@ suffix, so the whole TrainState shards consistently.
 from __future__ import annotations
 
 import logging
-from typing import Optional
 
 import jax
-import numpy as np
+
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from msid_tpu.parallel.mesh import MODEL_AXIS

@@ -13,7 +13,7 @@ TPU-native replacements for the reference's optimizer plumbing:
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import optax

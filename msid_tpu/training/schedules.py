@@ -14,7 +14,7 @@ from __future__ import annotations
 import math
 
 import jax.numpy as jnp
-import numpy as np
+
 import optax
 
 

@@ -16,8 +16,7 @@ tiles and a PRNG key.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +24,7 @@ import optax
 from flax import struct
 
 from msid_tpu.ops.metrics import batch_metric_sums
-from msid_tpu.ops.noise import NoiseConfig, apply_sensor_noise, corrupt
+from msid_tpu.ops.noise import NoiseConfig, corrupt
 from msid_tpu.ops.preprocess import preprocess_tiles
 from msid_tpu.training.losses import LossConfig, combined_loss
 

@@ -21,7 +21,6 @@ import logging
 from pathlib import Path
 from typing import Any, Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 logger = logging.getLogger(__name__)

@@ -15,7 +15,6 @@ from typing import Optional, Sequence
 import numpy as np
 
 from msid_tpu.utils.visualization import (
-    SENTINEL2_BAND_NAMES,
     SENTINEL2_WAVELENGTHS,
     _plt,
     extract_rgb,

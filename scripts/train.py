@@ -54,7 +54,6 @@ def main():
     logger = logging.getLogger("train")
 
     import jax
-    import optax  # noqa: F401
 
     from msid_tpu.data import get_dataloaders
     from msid_tpu.models import SatMAERestoration, count_parameters, init_model
