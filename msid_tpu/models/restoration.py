@@ -23,6 +23,15 @@ from msid_tpu.models.encoder import SatMAEEncoder
 
 Dtype = Any
 
+# ViT family presets selectable via `model.encoder.name` (the reference
+# only instantiates satmae_vit_base, encoder.py:73-134; small/large are
+# the standard ViT scaling ladder for the TPU build).
+ENCODER_PRESETS = {
+    "satmae_vit_small": dict(embed_dim=384, depth=12, num_heads=6),
+    "satmae_vit_base": dict(embed_dim=768, depth=12, num_heads=12),
+    "satmae_vit_large": dict(embed_dim=1024, depth=24, num_heads=16),
+}
+
 
 class SatMAERestoration(nn.Module):
     """Flagship model: 13-band noisy tile in, restored tile out (NHWC)."""
@@ -82,13 +91,16 @@ class SatMAERestoration(nn.Module):
         enc = config["model"]["encoder"]
         dec = config["model"]["decoder"]
         data = config.get("data", {})
+        # preset from `name` (if known) gives the defaults; explicit
+        # embed_dim/depth/num_heads keys still win
+        preset = ENCODER_PRESETS.get(str(enc.get("name", "")), {})
         return cls(
             image_size=int(data.get("image_size", 192)),
             patch_size=int(enc.get("patch_size", 16)),
             in_channels=int(enc.get("input_channels", 13)),
-            embed_dim=int(enc.get("embed_dim", 768)),
-            depth=int(enc.get("depth", 12)),
-            num_heads=int(enc.get("num_heads", 12)),
+            embed_dim=int(enc.get("embed_dim", preset.get("embed_dim", 768))),
+            depth=int(enc.get("depth", preset.get("depth", 12))),
+            num_heads=int(enc.get("num_heads", preset.get("num_heads", 12))),
             decoder_arch=str(dec.get("architecture", "unet_light")),
             decoder_channels=tuple(dec.get("channels", (384, 192, 96, 48))),
             out_channels=int(dec.get("output_channels", 13)),

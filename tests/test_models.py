@@ -137,3 +137,25 @@ def test_bf16_compute_dtype():
     assert all(l.dtype == jnp.float32 for l in leaves)
     y = model.apply(variables, jnp.zeros((1, 64, 64, 13), jnp.bfloat16))
     assert y.dtype == jnp.bfloat16
+
+
+def test_encoder_presets():
+    from msid_tpu.models.restoration import ENCODER_PRESETS
+
+    cfg = {
+        "data": {"image_size": 64},
+        "model": {
+            "encoder": {"name": "satmae_vit_small", "patch_size": 16,
+                        "gradient_checkpointing": False},
+            "decoder": {"channels": [32, 16, 8, 8]},
+        },
+    }
+    model = SatMAERestoration.from_config(cfg)
+    assert model.embed_dim == 384 and model.num_heads == 6
+    # explicit keys override the preset
+    cfg["model"]["encoder"]["embed_dim"] = 96
+    cfg["model"]["encoder"]["num_heads"] = 4
+    assert SatMAERestoration.from_config(cfg).embed_dim == 96
+    assert set(ENCODER_PRESETS) == {
+        "satmae_vit_small", "satmae_vit_base", "satmae_vit_large"
+    }
