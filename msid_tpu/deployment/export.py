@@ -30,6 +30,7 @@ logger = logging.getLogger(__name__)
 
 MODULE_FILE = "module.stablehlo"
 PARAMS_FILE = "params.npz"
+QPARAMS_FILE = "params_int8.npz"  # int8 payload: <key> + <key>@scale pairs
 
 
 def make_inference_fn(model):
@@ -73,11 +74,15 @@ def export_stablehlo(
     output_path: str | Path,
     input_shape: tuple = (1, 192, 192, 13),
     dynamic_batch: bool = True,
+    int8_weights: bool = False,
 ) -> Path:
     """Serialize the inference fn + weights to an artifact directory.
 
     Mirrors `export_to_onnx` (export_onnx.py:19-83): fixed spatial shape,
-    optionally-symbolic batch dimension.
+    optionally-symbolic batch dimension. With ``int8_weights`` the payload
+    stores per-output-channel int8 kernels + scales (the reference's ORT
+    dynamic INT8 quantization, optimize_model.py:78-126) — ~4x smaller;
+    dequantized to fp32 at load.
     """
     from jax import export as jax_export
 
@@ -102,7 +107,20 @@ def export_stablehlo(
         out_dir = out_dir.with_suffix("")
     out_dir.mkdir(parents=True, exist_ok=True)
     (out_dir / MODULE_FILE).write_bytes(blob)
-    np.savez(out_dir / PARAMS_FILE, **_flatten_variables(jax.device_get(variables)))
+    host_vars = jax.device_get(variables)
+    if int8_weights:
+        from msid_tpu.deployment.quantize import quantize_params
+
+        qtree, stree = quantize_params(host_vars)
+        flat_q = _flatten_variables(qtree)
+        flat_s = _flatten_variables(stree)
+        payload = dict(flat_q)
+        for k, s in flat_s.items():
+            if s.size:
+                payload[k + "@scale"] = s
+        np.savez(out_dir / QPARAMS_FILE, **payload)
+    else:
+        np.savez(out_dir / PARAMS_FILE, **_flatten_variables(host_vars))
 
     total_mb = sum(f.stat().st_size for f in out_dir.iterdir()) / 1e6
     logger.info("Exported StableHLO artifact: %s (%.2f MB, module %.2f MB)",
@@ -120,8 +138,19 @@ def load_exported(path: str | Path):
         exported = jax_export.deserialize(path.read_bytes())
         return exported.call
     exported = jax_export.deserialize((path / MODULE_FILE).read_bytes())
-    with np.load(path / PARAMS_FILE) as z:
-        variables = _unflatten_variables({k: z[k] for k in z.files})
+    if (path / QPARAMS_FILE).exists():
+        with np.load(path / QPARAMS_FILE) as z:
+            flat = {k: z[k] for k in z.files}
+        deq = {}
+        for k, v in flat.items():
+            if k.endswith("@scale"):
+                continue
+            scale = flat.get(k + "@scale")
+            deq[k] = v.astype(np.float32) * scale if scale is not None else v
+        variables = _unflatten_variables(deq)
+    else:
+        with np.load(path / PARAMS_FILE) as z:
+            variables = _unflatten_variables({k: z[k] for k in z.files})
 
     def call(x):
         return exported.call(variables, x)
