@@ -147,12 +147,23 @@ class SyntheticEuroSAT:
         self.seed = seed
         train_idx, val_idx = _reference_split(num_samples, train_split, seed)
         self.indices = train_idx if split == "train" else val_idx
+        # tiles are deterministic per (seed, index) and small (~213 KB);
+        # cache so repeated epochs don't regenerate (~10 ms/tile was the
+        # per-epoch bottleneck once the device step hit ~190 ms/batch-64)
+        self._cache: dict = {}
 
     def __len__(self) -> int:
         return len(self.indices)
 
     def __getitem__(self, idx: int) -> np.ndarray:
-        gidx = int(self.indices[idx])
+        cached = self._cache.get(idx)
+        if cached is not None:
+            return cached
+        tile = self._generate(int(self.indices[idx]))
+        self._cache[idx] = tile
+        return tile
+
+    def _generate(self, gidx: int) -> np.ndarray:
         rng = np.random.default_rng(self.seed * 1_000_003 + gidx)
         t = self.tile_size
         # low-frequency base field: random coarse grid, bilinear-upsampled
