@@ -107,6 +107,16 @@ class EuroSATMultiSpectral:
             img = np.concatenate([img, pad], axis=2)
         elif c > self.num_bands:
             img = img[:, :, : self.num_bands]
+        # Spatial guard: batches stack to a static [tile, tile] shape, so
+        # an odd-sized file must not poison the pipeline — crop/zero-pad.
+        h, w = img.shape[:2]
+        t = self.tile_size
+        if (h, w) != (t, t):
+            img = img[:t, :t]
+            if img.shape[0] < t or img.shape[1] < t:
+                padded = np.zeros((t, t, self.num_bands), img.dtype)
+                padded[: img.shape[0], : img.shape[1]] = img
+                img = padded
         return np.ascontiguousarray(img, dtype=np.float32)
 
     def compute_statistics(self, num_samples: int = 1000) -> dict:

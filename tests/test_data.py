@@ -114,3 +114,18 @@ def test_build_dataset_synthetic_fallback(tmp_path):
     ds = build_dataset(cfg, "train")
     assert isinstance(ds, SyntheticEuroSAT)
     assert len(ds) > 0
+
+
+def test_odd_sized_tile_normalized(tmp_path):
+    """An odd-sized file must crop/pad to the static tile shape."""
+    from msid_tpu.data.dataset import EuroSATMultiSpectral
+    from msid_tpu.data.tiff import write_tiff
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "cls"
+    d.mkdir()
+    write_tiff(d / "big.tif", rng.integers(0, 100, (80, 70, 13), dtype=np.uint16))
+    write_tiff(d / "small.tif", rng.integers(0, 100, (40, 64, 13), dtype=np.uint16))
+    ds = EuroSATMultiSpectral(tmp_path, split="train", train_split=1.0)
+    for i in range(len(ds)):
+        assert ds[i].shape == (64, 64, 13)
