@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Fastpath A/B microbenchmarks: full-path crossover + lowering variants.
+
+Measures, on the current default device, steady-state (pipelined, single
+trailing sync) per-iteration time of:
+
+  * full forward: fastpath(matmul upsample) vs fastpath(conv_transpose
+    upsample) vs `model.apply`, across batch sizes — the data behind
+    `FASTPATH_AUTO_MAX_BATCH` in deployment/inference.py.
+  * decoder-only and encoder-only variants (--parts): upsample lowering,
+    patchify lowering, softmax accumulation dtype.
+
+Reference for the role of this file: the reference project benchmarks its
+onnxslim-optimized artifact against the raw export the same way
+(compare_models in /root/reference/src/deployment/optimize_model.py).
+
+Last measured (v5e, 2026-08): full-path ms/iter
+    b=1   fast_mm  2.42   fast_ct  4.07   regular  3.07
+    b=8   fast_mm  7.65   fast_ct  8.76   regular  7.51
+    b=32  fast_mm 33.8    fast_ct 31.5    regular 32.1
+    b=128 fast_mm 101.2   (enc 37.4 + dec_ct 30.6)  regular 62.5
+Decoder-only b=128: matmul+d2s 69.0, conv_transpose 30.6 (regular 34).
+Encoder-only b=128: fp32 softmax beats bf16 (37.4 vs 40.9); conv vs
+matmul patchify is a wash.
+
+Run:  python benchmarks/fastpath_ab.py [--batches 1,8,32] [--parts]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import time
+
+
+def _timeit(fn, *args, n=40, warmup=3):
+    import jax.numpy as jnp
+
+    for _ in range(warmup):
+        float(jnp.sum(fn(*args)))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        y = fn(*args)
+    float(jnp.sum(y))
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batches", default="1,8,32")
+    p.add_argument("--parts", action="store_true",
+                   help="also A/B decoder/encoder lowering variants at the largest batch")
+    p.add_argument("--iters", type=int, default=40)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from msid_tpu.deployment import fastpath
+    from msid_tpu.deployment.export import make_inference_fn
+    from msid_tpu.deployment.fastpath import (
+        make_fast_inference_fn,
+        optimize_for_inference,
+    )
+    from msid_tpu.models import SatMAERestoration, init_model
+
+    model = SatMAERestoration(dtype=jnp.bfloat16, gradient_checkpointing=False)
+    variables = init_model(model, jax.random.PRNGKey(0))
+    fp = optimize_for_inference(model, variables, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+
+    fns = {
+        "fast_mm": (jax.jit(make_fast_inference_fn(model, matmul_upsample=True)), fp),
+        "fast_ct": (jax.jit(make_fast_inference_fn(model, matmul_upsample=False)), fp),
+        "regular": (jax.jit(make_inference_fn(model)), variables),
+    }
+    batches = [int(b) for b in args.batches.split(",")]
+    for b in batches:
+        x = jnp.asarray(rng.normal(size=(b, 192, 192, 13)), jnp.float32)
+        for name, (fn, weights) in fns.items():
+            ms = _timeit(fn, weights, x, n=args.iters)
+            print(f"B={b:3d} {name}: {ms:8.3f} ms/iter ({ms / b * 1e3:7.1f} us/img)",
+                  flush=True)
+
+    if args.parts:
+        bmax = max(batches)
+        tok = jnp.asarray(rng.normal(size=(bmax, 12, 12, 768)), jnp.bfloat16)
+
+        def dec(fpp, y, matmul_up):
+            for stage in fpp["stages"]:
+                cout = stage["up_w"].shape[1] // 4
+                bb, hh, ww, _ = y.shape
+                if matmul_up:
+                    up = y.reshape(bb * hh * ww, -1) @ stage["up_w"] + stage["up_b"]
+                    up = (up.reshape(bb, hh, ww, 2, 2, cout)
+                          .transpose(0, 1, 3, 2, 4, 5)
+                          .reshape(bb, hh * 2, ww * 2, cout))
+                else:
+                    up = jax.lax.conv_transpose(
+                        y, stage["up_ct"].astype(y.dtype), strides=(2, 2),
+                        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    ) + stage["up_ct_b"].astype(y.dtype)
+                y = jax.nn.gelu(up)
+                for res in stage["res"]:
+                    z = jax.nn.gelu(fastpath._conv3(y, res["k1"], res["b1"]))
+                    z = fastpath._conv3(z, res["k2"], res["b2"])
+                    y = jax.nn.gelu(y + z)
+            y = jax.nn.gelu(fastpath._conv3(y, fpp["head_k"], fpp["head_b"]))
+            return y @ fpp["out_k"][0, 0] + fpp["out_b"]
+
+        for mu in (True, False):
+            f = jax.jit(functools.partial(dec, matmul_up=mu))
+            print(f"B={bmax:3d} decoder matmul_up={mu}: {_timeit(f, fp, tok, n=args.iters):.3f} ms",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

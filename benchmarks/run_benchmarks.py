@@ -81,6 +81,18 @@ def main():
     print(json.dumps({"bench": "single_image", "ms": round(ms, 3),
                       "vs_ref": results["1_vs_reference"]}))
 
+    # -- 1b. single-image latency, fastpath (graph-optimized) -----------
+    from msid_tpu.deployment.fastpath import (
+        make_fast_inference_fn, optimize_for_inference,
+    )
+    fp = optimize_for_inference(model, variables, dtype=jnp.bfloat16)
+    fast1 = jax.jit(make_fast_inference_fn(model))
+    ms = timeit(fast1, fp, x1, iters=iters)
+    results["1b_single_image_fastpath_ms"] = round(ms, 3)
+    results["1b_vs_reference"] = round(REFERENCE["single_image_ms"] / ms, 2)
+    print(json.dumps({"bench": "single_image_fastpath", "ms": round(ms, 3),
+                      "vs_ref": results["1b_vs_reference"]}))
+
     # -- 2. batched eval with on-device metrics --------------------------
     eval_step = make_eval_step(model, LossConfig(), NoiseConfig(), image_size=192)
     raw = jnp.asarray(rng.uniform(0, 10000, (64, 64, 64, 13)).astype(np.float32))

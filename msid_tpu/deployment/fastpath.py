@@ -1,0 +1,282 @@
+"""Inference graph optimization: a hand-scheduled fast forward pass.
+
+The TPU-native analogue of the reference's ONNX graph-simplification step
+(`/root/reference/src/deployment/optimize_model.py:16-75`, onnxslim): take
+the trained variables, rewrite the weights host-side into an
+inference-optimal form, and run a leaner forward:
+
+  * **Fused QKV** — the three [D,D] attention projections become one
+    [D,3D] matmul per block (36 matmuls → 12 across the encoder), with the
+    1/sqrt(head_dim) attention scale pre-folded into the query weights.
+  * **BatchNorm folding** — eval-mode BN is an affine; it folds into the
+    preceding conv's kernel/bias, deleting every BN op in the decoder.
+  * **ConvTranspose(2,2,stride 2) as matmul + depth-to-space** — each
+    input pixel independently produces a 2x2 output block, so the upsample
+    is exactly `[B*H*W, Cin] @ [Cin, 4*Cout]` followed by a pixel-shuffle.
+    The matmul has 4*Cout output lanes (e.g. 192 for the C=48 stage)
+    instead of Cout, which tiles far better onto the 128-lane MXU than the
+    generic conv_transpose lowering.
+  * **Patch embed as matmul** — non-overlapping 16x16 patches are a
+    reshape/transpose, then one [B*144, 3328] @ [3328, 768] matmul.
+
+This cuts the b=1 dispatch count (the model is launch-bound at batch 1)
+and removes HBM round-trips between conv and norm. Numerics are validated
+against `model.apply` in fp32 (tests/test_fastpath.py); supported config
+is the flagship `unet_light` decoder with `norm='batch'`.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Dtype = Any
+
+
+def _fold_bn(kernel, bias, bn_params, bn_stats, eps: float = 1e-5):
+    """Fold eval-mode BatchNorm into the preceding conv.
+
+    y = BN(conv(x) + b0) = conv(x)*a + (b0*a + beta - mean*a)
+    with a = scale / sqrt(var + eps). Kernel layout [..., Cout].
+    """
+    scale = np.asarray(bn_params["scale"], np.float32)
+    beta = np.asarray(bn_params["bias"], np.float32)
+    mean = np.asarray(bn_stats["mean"], np.float32)
+    var = np.asarray(bn_stats["var"], np.float32)
+    a = scale / np.sqrt(var + eps)
+    k = np.asarray(kernel, np.float32) * a
+    b0 = np.asarray(bias, np.float32) if bias is not None else 0.0
+    b = b0 * a + beta - mean * a
+    return k, b.astype(np.float32)
+
+
+def optimize_for_inference(model, variables, dtype: Dtype = jnp.bfloat16) -> dict:
+    """Rewrite trained variables into the fastpath form (host-side, numpy).
+
+    Returns a flat-ish pytree consumed by :func:`fast_forward`. Raises
+    ``ValueError`` for unsupported configurations (non-`unet_light`
+    decoder or non-BatchNorm norms) — callers fall back to `model.apply`.
+    """
+    if model.decoder_arch != "unet_light":
+        raise ValueError(f"fastpath supports unet_light, got {model.decoder_arch}")
+    if model.norm != "batch":
+        raise ValueError(f"fastpath supports norm='batch', got {model.norm}")
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    enc = params["encoder"]
+    dec = params["decoder"]
+    dec_stats = stats.get("decoder")
+    if dec_stats is None:
+        raise ValueError("fastpath needs batch_stats for BN folding")
+
+    fp: dict = {}
+    d = model.embed_dim
+    head_dim = d // model.num_heads
+
+    # --- encoder ---
+    pe = enc["patch_embed"]
+    k = np.asarray(pe["proj"]["kernel"], np.float32)  # [p, p, Cin, D]
+    fp["patch_w"] = k.reshape(-1, d)                  # [(p*p*Cin), D]
+    fp["patch_b"] = np.asarray(pe["proj"]["bias"], np.float32)
+    fp["patch_ln"] = (np.asarray(pe["norm"]["scale"], np.float32),
+                      np.asarray(pe["norm"]["bias"], np.float32))
+    fp["pos_embed"] = np.asarray(enc["pos_embed"], np.float32)
+
+    blocks = []
+    for i in range(model.depth):
+        blk = enc[f"blocks_{i}"]
+        attn = blk["attn"]
+        scale = np.float32(1.0 / np.sqrt(head_dim))
+        wq = np.asarray(attn["query"]["kernel"], np.float32).reshape(d, d) * scale
+        bq = np.asarray(attn["query"]["bias"], np.float32).reshape(d) * scale
+        wk = np.asarray(attn["key"]["kernel"], np.float32).reshape(d, d)
+        bk = np.asarray(attn["key"]["bias"], np.float32).reshape(d)
+        wv = np.asarray(attn["value"]["kernel"], np.float32).reshape(d, d)
+        bv = np.asarray(attn["value"]["bias"], np.float32).reshape(d)
+        blocks.append({
+            "ln1": (np.asarray(blk["norm1"]["scale"], np.float32),
+                    np.asarray(blk["norm1"]["bias"], np.float32)),
+            "wqkv": np.concatenate([wq, wk, wv], axis=1),  # [D, 3D]
+            "bqkv": np.concatenate([bq, bk, bv]),
+            "wout": np.asarray(attn["out"]["kernel"], np.float32).reshape(d, d),
+            "bout": np.asarray(attn["out"]["bias"], np.float32),
+            "ln2": (np.asarray(blk["norm2"]["scale"], np.float32),
+                    np.asarray(blk["norm2"]["bias"], np.float32)),
+            "w1": np.asarray(blk["mlp"]["fc1"]["kernel"], np.float32),
+            "b1": np.asarray(blk["mlp"]["fc1"]["bias"], np.float32),
+            "w2": np.asarray(blk["mlp"]["fc2"]["kernel"], np.float32),
+            "b2": np.asarray(blk["mlp"]["fc2"]["bias"], np.float32),
+        })
+    fp["blocks"] = blocks
+    fp["final_ln"] = (np.asarray(enc["norm"]["scale"], np.float32),
+                      np.asarray(enc["norm"]["bias"], np.float32))
+
+    # --- decoder (BN folded everywhere) ---
+    stages = []
+    for s in range(len(model.decoder_channels)):
+        up = dec[f"up_{s}"]
+        up_stats = dec_stats[f"up_{s}"]
+        # ConvTranspose kernel [2, 2, Cin, Cout] → matmul [Cin, 2*2*Cout]:
+        # out[2i+di, 2j+dj, co] = sum_ci x[i,j,ci] * K[di,dj,ci,co]
+        wk, wb = _fold_bn(
+            up["ConvTranspose_0"]["kernel"], up["ConvTranspose_0"]["bias"],
+            up["Norm_0"]["BatchNorm_0"], up_stats["Norm_0"]["BatchNorm_0"],
+        )
+        kh, kw, cin, cout = wk.shape
+        # lax.conv_transpose applies the kernel spatially flipped; undo that
+        # so up_w[ci, (di*2+dj)*cout + co] multiplies output offset (di, dj)
+        up_w = wk[::-1, ::-1].transpose(2, 0, 1, 3).reshape(cin, kh * kw * cout)
+        # bias per Cout, tiled across the 2x2 block positions of the
+        # flattened (di, dj, co) output layout
+        stage = {
+            "up_w": up_w,
+            "up_b": np.tile(wb, kh * kw),
+            # Same folded weights in conv_transpose form: wins at large
+            # batch where the depth-to-space transpose is HBM-bound
+            # (measured b=128 decoder: 30.6 ms ct vs 69 ms matmul+d2s).
+            "up_ct": wk,
+            "up_ct_b": wb,
+            "res": [],
+        }
+        r = 0
+        while f"res_{s}_{r}" in dec:
+            res = dec[f"res_{s}_{r}"]
+            res_stats = dec_stats[f"res_{s}_{r}"]
+            k1, b1 = _fold_bn(res["Conv_0"]["kernel"], None,
+                              res["Norm_0"]["BatchNorm_0"],
+                              res_stats["Norm_0"]["BatchNorm_0"])
+            k2, b2 = _fold_bn(res["Conv_1"]["kernel"], None,
+                              res["Norm_1"]["BatchNorm_0"],
+                              res_stats["Norm_1"]["BatchNorm_0"])
+            stage["res"].append({"k1": k1, "b1": b1, "k2": k2, "b2": b2})
+            r += 1
+        stages.append(stage)
+    fp["stages"] = stages
+
+    hk, hb = _fold_bn(dec["head_conv"]["kernel"], dec["head_conv"]["bias"],
+                      dec["head_norm"]["BatchNorm_0"],
+                      dec_stats["head_norm"]["BatchNorm_0"])
+    fp["head_k"] = hk
+    fp["head_b"] = hb
+    fp["out_k"] = np.asarray(dec["head_out"]["kernel"], np.float32)
+    fp["out_b"] = np.asarray(dec["head_out"]["bias"], np.float32)
+
+    def _cast(x):
+        # Unconditional device placement: a leaf left as host numpy (any
+        # dtype — float64 creeps in via numpy scalar promotion) would be
+        # re-uploaded through the device transport on EVERY call (measured
+        # 2 s/call through the axon relay vs 4 ms device-resident).
+        x = np.asarray(x)
+        if np.issubdtype(x.dtype, np.floating):
+            return jnp.asarray(x.astype(np.float32), dtype)
+        return jnp.asarray(x)
+
+    return jax.tree_util.tree_map(_cast, fp)
+
+
+def _layer_norm(x, scale, bias, eps: float = 1e-6):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def _conv3(x, k, b):
+    y = jax.lax.conv_general_dilated(
+        x, k.astype(x.dtype), window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + b.astype(x.dtype)
+
+
+def fast_forward(
+    fast_params: dict,
+    x: jnp.ndarray,
+    *,
+    patch_size: int = 16,
+    num_heads: int = 12,
+    matmul_upsample: bool = True,
+) -> jnp.ndarray:
+    """Optimized inference forward: NHWC noisy batch → restored batch.
+
+    Consumes the tree from :func:`optimize_for_inference`. Static config
+    (patch size, head count) is passed as keyword args — use
+    :func:`make_fast_inference_fn` to bind them from the model.
+    ``matmul_upsample`` selects the upsample lowering: the matmul +
+    depth-to-space form wins at small batch (launch-bound), the plain
+    conv_transpose form at large batch (the d2s transpose is HBM-bound).
+    """
+    p = patch_size
+    heads = num_heads
+    d = fast_params["patch_w"].shape[-1]
+    hd = d // heads
+
+    dtype = fast_params["patch_w"].dtype
+    b, h, w, c = x.shape
+    gh, gw = h // p, w // p
+    n = gh * gw
+    x = x.astype(dtype)
+
+    # patch embed as one matmul
+    patches = x.reshape(b, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
+    tokens = patches.reshape(b, n, p * p * c) @ fast_params["patch_w"]
+    tokens = tokens + fast_params["patch_b"]
+    tokens = _layer_norm(tokens, *fast_params["patch_ln"])
+    tokens = tokens + fast_params["pos_embed"].astype(dtype)
+
+    for blk in fast_params["blocks"]:
+        y = _layer_norm(tokens, *blk["ln1"])
+        qkv = y @ blk["wqkv"] + blk["bqkv"]                    # [B, N, 3D]
+        qkv = qkv.reshape(b, n, 3, heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]     # [B, N, H, hd]
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
+        y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, d)
+        tokens = tokens + (y @ blk["wout"] + blk["bout"])
+        y = _layer_norm(tokens, *blk["ln2"])
+        y = jax.nn.gelu(y @ blk["w1"] + blk["b1"])
+        tokens = tokens + (y @ blk["w2"] + blk["b2"])
+
+    tokens = _layer_norm(tokens, *fast_params["final_ln"])
+    y = tokens.reshape(b, gh, gw, d)
+
+    for stage in fast_params["stages"]:
+        cout = stage["up_w"].shape[1] // 4
+        bb, hh, ww, _ = y.shape
+        if matmul_upsample:
+            # upsample: matmul + depth-to-space (2x2 blocks)
+            up = y.reshape(bb * hh * ww, -1) @ stage["up_w"] + stage["up_b"]
+            up = up.reshape(bb, hh, ww, 2, 2, cout)
+            up = up.transpose(0, 1, 3, 2, 4, 5).reshape(bb, hh * 2, ww * 2, cout)
+        else:
+            up = jax.lax.conv_transpose(
+                y, stage["up_ct"].astype(y.dtype), strides=(2, 2),
+                padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + stage["up_ct_b"].astype(y.dtype)
+        y = jax.nn.gelu(up)
+        for res in stage["res"]:
+            z = jax.nn.gelu(_conv3(y, res["k1"], res["b1"]))
+            z = _conv3(z, res["k2"], res["b2"])
+            y = jax.nn.gelu(y + z)
+
+    y = jax.nn.gelu(_conv3(y, fast_params["head_k"], fast_params["head_b"]))
+    y = y @ fast_params["out_k"][0, 0] + fast_params["out_b"]
+    return y.astype(jnp.float32)
+
+
+def make_fast_inference_fn(model, matmul_upsample: bool = True):
+    """Signature-compatible with `make_inference_fn`: (fast_params, x) → y,
+    with the model's static config bound."""
+    import functools
+
+    return functools.partial(
+        fast_forward,
+        patch_size=model.patch_size,
+        num_heads=model.num_heads,
+        matmul_upsample=matmul_upsample,
+    )

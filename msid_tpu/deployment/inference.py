@@ -25,6 +25,12 @@ from msid_tpu.deployment.export import load_exported, make_inference_fn
 
 logger = logging.getLogger(__name__)
 
+# Largest batch at which optimize="auto" picks the fastpath. The fastpath
+# wins in the launch-bound regime (b=1: 2.42 vs 3.07 ms measured on v5e)
+# and loses in the HBM/MXU-bound regime (b=128: 101 vs 62.5 ms); the
+# crossover sits between b=4 and b=8.
+FASTPATH_AUTO_MAX_BATCH = 4
+
 
 class InferenceSession:
     """AOT-compiled restoration inference at a fixed batch size."""
@@ -38,11 +44,26 @@ class InferenceSession:
         image_size: int = 192,
         num_bands: int = 13,
         donate_input: bool = False,
+        optimize: bool | str = "auto",
     ):
-        """Build from a live (model, variables) pair or an exported artifact."""
+        """Build from a live (model, variables) pair or an exported artifact.
+
+        ``optimize`` enables the fastpath graph optimization (fused QKV,
+        folded BN, upsample-as-matmul — `msid_tpu.deployment.fastpath`,
+        the reference's onnxslim step, optimize_model.py:16-75):
+        True/False force it; "auto" uses it when the model config supports
+        it AND the batch size is in its measured win region, falling back
+        to `model.apply` otherwise.
+
+        Measured crossover on one v5e chip (ms/iter, pipelined):
+        b=1 fast 2.42 vs regular 3.07; b=8 7.65 vs 7.51; b=32 33.8 vs
+        32.1; b=128 101 vs 62.5 — the fastpath is a launch-bound-regime
+        optimization, so "auto" uses it only for batch <= 4.
+        """
         self.batch_size = batch_size
         self.image_size = image_size
         self.num_bands = num_bands
+        self.optimized = False
         self.input_shape = (batch_size, image_size, image_size, num_bands)
 
         if artifact_path is not None:
@@ -52,6 +73,24 @@ class InferenceSession:
             # Weights are a call argument (never baked as constants) and are
             # bound here after AOT compilation.
             infer = make_inference_fn(model)
+            want_fastpath = optimize is True or (
+                optimize == "auto" and batch_size <= FASTPATH_AUTO_MAX_BATCH
+            )
+            if want_fastpath:
+                from msid_tpu.deployment.fastpath import (
+                    make_fast_inference_fn,
+                    optimize_for_inference,
+                )
+
+                try:
+                    variables = optimize_for_inference(
+                        model, variables, dtype=model.dtype
+                    )
+                    infer = make_fast_inference_fn(model)
+                    self.optimized = True
+                except ValueError:
+                    if optimize is True:
+                        raise
             donate = (1,) if donate_input else ()
             jitted = jax.jit(infer, donate_argnums=donate)
             var_shapes = jax.tree_util.tree_map(
@@ -82,10 +121,19 @@ class InferenceSession:
         return np.asarray(self._fn(x))
 
     def benchmark(
-        self, warmup_runs: int = 10, benchmark_iterations: int = 100, seed: int = 0
+        self,
+        warmup_runs: int = 10,
+        benchmark_iterations: int = 100,
+        seed: int = 0,
+        pipelined: bool = False,
     ) -> dict:
         """Latency benchmark (reference onnx_inference.py:96-146 protocol:
-        default 10 warmup + 100 timed)."""
+        default 10 warmup + 100 timed).
+
+        ``pipelined=True`` times the whole loop with a single trailing sync
+        instead of syncing per iteration — the steady-state throughput
+        number, free of host↔device round-trip latency (which on relayed
+        transports adds ~tens of ms per sync and otherwise dominates)."""
         x = jax.device_put(
             np.asarray(
                 jax.random.uniform(
@@ -106,13 +154,21 @@ class InferenceSession:
         for _ in range(warmup_runs):
             run_and_wait(x)
 
-        times_ms = []
-        for _ in range(benchmark_iterations):
+        if pipelined:
             t0 = time.perf_counter()
-            run_and_wait(x)
-            times_ms.append((time.perf_counter() - t0) * 1e3)
-
-        times_ms = np.asarray(times_ms)
+            y = None
+            for _ in range(benchmark_iterations):
+                y = self._fn(x)
+            float(jnp.sum(y))
+            per_iter = (time.perf_counter() - t0) * 1e3 / benchmark_iterations
+            times_ms = np.asarray([per_iter])
+        else:
+            times_ms = []
+            for _ in range(benchmark_iterations):
+                t0 = time.perf_counter()
+                run_and_wait(x)
+                times_ms.append((time.perf_counter() - t0) * 1e3)
+            times_ms = np.asarray(times_ms)
         mean_ms = float(times_ms.mean())
         results = {
             "mean_ms": mean_ms,
