@@ -34,9 +34,17 @@ def main():
     model = SatMAERestoration(dtype=jnp.bfloat16, gradient_checkpointing=False)
     variables = init_model(model, jax.random.PRNGKey(0))
 
-    @jax.jit
-    def forward(variables, x):
-        return model.apply(variables, x, train=False)
+    # The large-batch serving graph (flax encoder + folded-BN conv_transpose
+    # decoder — deployment/fastpath.py): 58.2 vs 61.8 ms at b=128 measured
+    # vs plain model.apply. This is what InferenceSession(optimize="auto")
+    # runs at this batch size.
+    from msid_tpu.deployment.fastpath import (
+        make_hybrid_inference_fn,
+        optimize_for_hybrid,
+    )
+
+    variables = optimize_for_hybrid(model, variables, dtype=jnp.bfloat16)
+    forward = jax.jit(make_hybrid_inference_fn(model))
 
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(batch, 192, 192, 13)),

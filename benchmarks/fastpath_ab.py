@@ -15,13 +15,16 @@ onnxslim-optimized artifact against the raw export the same way
 (compare_models in /root/reference/src/deployment/optimize_model.py).
 
 Last measured (v5e, 2026-08): full-path ms/iter
-    b=1   fast_mm  2.42   fast_ct  4.07   regular  3.07
+    b=1   fast_mm  1.71 (contiguous-slice QKV; 2.42 before)  fast_ct 4.07
+          regular  3.07
     b=8   fast_mm  7.65   fast_ct  8.76   regular  7.51
     b=32  fast_mm 33.8    fast_ct 31.5    regular 32.1
-    b=128 fast_mm 101.2   (enc 37.4 + dec_ct 30.6)  regular 62.5
+    b=128 fast_mm 101.2   hybrid 58.2     regular 61.8
 Decoder-only b=128: matmul+d2s 69.0, conv_transpose 30.6 (regular 34).
-Encoder-only b=128: fp32 softmax beats bf16 (37.4 vs 40.9); conv vs
-matmul patchify is a wash.
+Encoder-only b=128: flax 30.5 < fused-QKV split 32.2 < fused contiguous
+slices 34.7 < fused 5-D-reshape slices 37.9; fp32 softmax beats bf16
+(37.4 vs 40.9); conv vs matmul patchify is a wash. Hence the hybrid
+(flax encoder + folded-BN conv_transpose decoder) for large batch.
 
 Run:  python benchmarks/fastpath_ab.py [--batches 1,8,32] [--parts]
 """
@@ -70,9 +73,16 @@ def main():
     fp = optimize_for_inference(model, variables, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
 
+    from msid_tpu.deployment.fastpath import (
+        make_hybrid_inference_fn,
+        optimize_for_hybrid,
+    )
+
+    hyb = optimize_for_hybrid(model, variables, dtype=jnp.bfloat16)
     fns = {
         "fast_mm": (jax.jit(make_fast_inference_fn(model, matmul_upsample=True)), fp),
         "fast_ct": (jax.jit(make_fast_inference_fn(model, matmul_upsample=False)), fp),
+        "hybrid ": (jax.jit(make_hybrid_inference_fn(model)), hyb),
         "regular": (jax.jit(make_inference_fn(model)), variables),
     }
     batches = [int(b) for b in args.batches.split(",")]

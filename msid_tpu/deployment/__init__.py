@@ -8,6 +8,12 @@ from msid_tpu.deployment.export import (
     make_inference_fn,
     verify_exported_model,
 )
+from msid_tpu.deployment.fastpath import (
+    make_fast_inference_fn,
+    make_hybrid_inference_fn,
+    optimize_for_hybrid,
+    optimize_for_inference,
+)
 from msid_tpu.deployment.inference import InferenceSession
 from msid_tpu.deployment.quantize import (
     dequantize_params,
@@ -27,6 +33,10 @@ __all__ = [
     "compare_live_vs_exported",
     "export_stablehlo",
     "load_exported",
+    "make_fast_inference_fn",
+    "make_hybrid_inference_fn",
     "make_inference_fn",
+    "optimize_for_hybrid",
+    "optimize_for_inference",
     "verify_exported_model",
 ]

@@ -31,6 +31,7 @@ logger = logging.getLogger(__name__)
 MODULE_FILE = "module.stablehlo"
 PARAMS_FILE = "params.npz"
 QPARAMS_FILE = "params_int8.npz"  # int8 payload: <key> + <key>@scale pairs
+META_FILE = "meta.json"  # {"optimized": bool, "dtype": "bfloat16"|...}
 
 
 def make_inference_fn(model):
@@ -46,15 +47,45 @@ def make_inference_fn(model):
     return infer
 
 
-def _flatten_variables(variables: dict, prefix: str = "") -> dict:
+def _flatten_variables(variables, prefix: str = "") -> dict:
+    """Flatten a dict/list pytree to '/'-joined keys. List elements get a
+    `name#i` key segment so :func:`_unflatten_variables` can rebuild the
+    list (the fastpath tree nests lists: blocks, stages, res)."""
     flat = {}
-    for k, v in variables.items():
+    if isinstance(variables, dict):
+        items = list(variables.items())
+    else:  # list/tuple
+        items = [(f"{i}", v) for i, v in enumerate(variables)]
+    for k, v in items:
         key = f"{prefix}/{k}" if prefix else str(k)
         if isinstance(v, dict):
             flat.update(_flatten_variables(v, key))
+        elif isinstance(v, (list, tuple)):
+            for i, item in enumerate(v):
+                sub = f"{key}#{i}"
+                if isinstance(item, (dict, list, tuple)):
+                    flat.update(_flatten_variables(item, sub))
+                else:
+                    flat[sub] = np.asarray(item)
         else:
             flat[key] = np.asarray(v)
     return flat
+
+
+def _listify(node):
+    """Convert `name#i` sibling groups (see _flatten_variables) back to
+    lists, recursively."""
+    if not isinstance(node, dict):
+        return node
+    node = {k: _listify(v) for k, v in node.items()}
+    groups: dict = {}
+    for k in list(node.keys()):
+        if "#" in k:
+            name, idx = k.rsplit("#", 1)
+            groups.setdefault(name, {})[int(idx)] = node.pop(k)
+    for name, items in groups.items():
+        node[name] = [items[i] for i in range(len(items))]
+    return node
 
 
 def _unflatten_variables(flat: dict) -> dict:
@@ -65,7 +96,7 @@ def _unflatten_variables(flat: dict) -> dict:
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = jnp.asarray(value)
-    return tree
+    return _listify(tree)
 
 
 def export_stablehlo(
@@ -75,6 +106,7 @@ def export_stablehlo(
     input_shape: tuple = (1, 192, 192, 13),
     dynamic_batch: bool = True,
     int8_weights: bool = False,
+    optimize: bool = False,
 ) -> Path:
     """Serialize the inference fn + weights to an artifact directory.
 
@@ -83,10 +115,42 @@ def export_stablehlo(
     stores per-output-channel int8 kernels + scales (the reference's ORT
     dynamic INT8 quantization, optimize_model.py:78-126) — ~4x smaller;
     dequantized to fp32 at load.
+
+    With ``optimize`` the artifact contains the fastpath graph (fused
+    QKV, folded BN — deployment.fastpath; the reference exports its
+    onnxslim-simplified model the same way, optimize_model.py:16-75) and
+    the rewritten weight tree. Best for small-batch serving (see
+    inference.FASTPATH_AUTO_MAX_BATCH); raises ``ValueError`` for model
+    configs the fastpath does not support. Not combinable with
+    ``int8_weights`` (the quantizer targets flax kernel names).
     """
+    import json
+
     from jax import export as jax_export
 
-    infer = jax.jit(make_inference_fn(model))
+    if optimize and int8_weights:
+        raise ValueError("optimize=True is not supported with int8_weights")
+
+    compute_dtype = jnp.dtype(model.dtype)
+    if optimize:
+        from msid_tpu.deployment.fastpath import (
+            make_fast_inference_fn,
+            optimize_for_inference,
+        )
+
+        # Serialize fp32 weights (npz can't hold bfloat16 without pickling)
+        # and record the compute dtype in meta.json; the module's avals are
+        # the compute dtype, load_exported casts the payload to match.
+        host_fp32 = optimize_for_inference(model, variables, as_numpy=True)
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(compute_dtype)
+            if np.issubdtype(np.asarray(a).dtype, np.floating) else np.asarray(a),
+            host_fp32,
+        )
+        infer = jax.jit(make_fast_inference_fn(model))
+    else:
+        host_fp32 = None
+        infer = jax.jit(make_inference_fn(model))
     if dynamic_batch:
         scope = jax_export.SymbolicScope()
         (b,) = jax_export.symbolic_shape("b", scope=scope)
@@ -107,7 +171,7 @@ def export_stablehlo(
         out_dir = out_dir.with_suffix("")
     out_dir.mkdir(parents=True, exist_ok=True)
     (out_dir / MODULE_FILE).write_bytes(blob)
-    host_vars = jax.device_get(variables)
+    host_vars = host_fp32 if optimize else jax.device_get(variables)
     if int8_weights:
         from msid_tpu.deployment.quantize import quantize_params
 
@@ -121,6 +185,10 @@ def export_stablehlo(
         np.savez(out_dir / QPARAMS_FILE, **payload)
     else:
         np.savez(out_dir / PARAMS_FILE, **_flatten_variables(host_vars))
+    (out_dir / META_FILE).write_text(json.dumps({
+        "optimized": bool(optimize),
+        "dtype": np.dtype(compute_dtype).name,
+    }))
 
     total_mb = sum(f.stat().st_size for f in out_dir.iterdir()) / 1e6
     logger.info("Exported StableHLO artifact: %s (%.2f MB, module %.2f MB)",
@@ -151,6 +219,21 @@ def load_exported(path: str | Path):
     else:
         with np.load(path / PARAMS_FILE) as z:
             variables = _unflatten_variables({k: z[k] for k in z.files})
+
+    meta_path = path / META_FILE
+    if meta_path.exists():
+        import json
+
+        meta = json.loads(meta_path.read_text())
+        if meta.get("optimized"):
+            # Optimized payloads are stored fp32 (npz has no bfloat16);
+            # the module's avals are the compute dtype — cast to match.
+            dtype = jnp.dtype(meta["dtype"])
+            variables = jax.tree_util.tree_map(
+                lambda a: a.astype(dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                variables,
+            )
 
     def call(x):
         return exported.call(variables, x)

@@ -20,9 +20,16 @@ inference-optimal form, and run a leaner forward:
     reshape/transpose, then one [B*144, 3328] @ [3328, 768] matmul.
 
 This cuts the b=1 dispatch count (the model is launch-bound at batch 1)
-and removes HBM round-trips between conv and norm. Numerics are validated
-against `model.apply` in fp32 (tests/test_fastpath.py); supported config
-is the flagship `unet_light` decoder with `norm='batch'`.
+and removes HBM round-trips between conv and norm: b=1 latency 1.71 ms
+vs 3.07 for `model.apply` on one v5e chip. In the HBM/MXU-bound
+large-batch regime the full fastpath LOSES (see
+benchmarks/fastpath_ab.py); there the winning graph is the hybrid
+(:func:`make_hybrid_inference_fn`) — flax encoder + the folded-BN
+conv_transpose decoder, 58.2 vs 61.8 ms at b=128.
+
+Numerics are validated against `model.apply` in fp32
+(tests/test_fastpath.py); supported config is the flagship `unet_light`
+decoder with `norm='batch'`.
 """
 
 from __future__ import annotations
@@ -53,12 +60,20 @@ def _fold_bn(kernel, bias, bn_params, bn_stats, eps: float = 1e-5):
     return k, b.astype(np.float32)
 
 
-def optimize_for_inference(model, variables, dtype: Dtype = jnp.bfloat16) -> dict:
+def optimize_for_inference(
+    model, variables, dtype: Dtype = jnp.bfloat16, as_numpy: bool = False
+) -> dict:
     """Rewrite trained variables into the fastpath form (host-side, numpy).
 
-    Returns a flat-ish pytree consumed by :func:`fast_forward`. Raises
+    Returns a flat-ish pytree consumed by :func:`fast_forward` (all
+    container nodes are dicts/lists so it round-trips through flat
+    key/value serialization — see deployment.export). Raises
     ``ValueError`` for unsupported configurations (non-`unet_light`
     decoder or non-BatchNorm norms) — callers fall back to `model.apply`.
+
+    ``as_numpy=True`` skips the device placement/dtype cast and returns
+    the raw fp32 host tree (used by the exporter, which serializes fp32
+    and casts at load).
     """
     if model.decoder_arch != "unet_light":
         raise ValueError(f"fastpath supports unet_light, got {model.decoder_arch}")
@@ -82,8 +97,8 @@ def optimize_for_inference(model, variables, dtype: Dtype = jnp.bfloat16) -> dic
     k = np.asarray(pe["proj"]["kernel"], np.float32)  # [p, p, Cin, D]
     fp["patch_w"] = k.reshape(-1, d)                  # [(p*p*Cin), D]
     fp["patch_b"] = np.asarray(pe["proj"]["bias"], np.float32)
-    fp["patch_ln"] = (np.asarray(pe["norm"]["scale"], np.float32),
-                      np.asarray(pe["norm"]["bias"], np.float32))
+    fp["patch_ln"] = [np.asarray(pe["norm"]["scale"], np.float32),
+                      np.asarray(pe["norm"]["bias"], np.float32)]
     fp["pos_embed"] = np.asarray(enc["pos_embed"], np.float32)
 
     blocks = []
@@ -98,22 +113,22 @@ def optimize_for_inference(model, variables, dtype: Dtype = jnp.bfloat16) -> dic
         wv = np.asarray(attn["value"]["kernel"], np.float32).reshape(d, d)
         bv = np.asarray(attn["value"]["bias"], np.float32).reshape(d)
         blocks.append({
-            "ln1": (np.asarray(blk["norm1"]["scale"], np.float32),
-                    np.asarray(blk["norm1"]["bias"], np.float32)),
+            "ln1": [np.asarray(blk["norm1"]["scale"], np.float32),
+                    np.asarray(blk["norm1"]["bias"], np.float32)],
             "wqkv": np.concatenate([wq, wk, wv], axis=1),  # [D, 3D]
             "bqkv": np.concatenate([bq, bk, bv]),
             "wout": np.asarray(attn["out"]["kernel"], np.float32).reshape(d, d),
             "bout": np.asarray(attn["out"]["bias"], np.float32),
-            "ln2": (np.asarray(blk["norm2"]["scale"], np.float32),
-                    np.asarray(blk["norm2"]["bias"], np.float32)),
+            "ln2": [np.asarray(blk["norm2"]["scale"], np.float32),
+                    np.asarray(blk["norm2"]["bias"], np.float32)],
             "w1": np.asarray(blk["mlp"]["fc1"]["kernel"], np.float32),
             "b1": np.asarray(blk["mlp"]["fc1"]["bias"], np.float32),
             "w2": np.asarray(blk["mlp"]["fc2"]["kernel"], np.float32),
             "b2": np.asarray(blk["mlp"]["fc2"]["bias"], np.float32),
         })
     fp["blocks"] = blocks
-    fp["final_ln"] = (np.asarray(enc["norm"]["scale"], np.float32),
-                      np.asarray(enc["norm"]["bias"], np.float32))
+    fp["final_ln"] = [np.asarray(enc["norm"]["scale"], np.float32),
+                      np.asarray(enc["norm"]["bias"], np.float32)]
 
     # --- decoder (BN folded everywhere) ---
     stages = []
@@ -164,6 +179,9 @@ def optimize_for_inference(model, variables, dtype: Dtype = jnp.bfloat16) -> dic
     fp["head_b"] = hb
     fp["out_k"] = np.asarray(dec["head_out"]["kernel"], np.float32)
     fp["out_b"] = np.asarray(dec["head_out"]["bias"], np.float32)
+
+    if as_numpy:
+        return fp
 
     def _cast(x):
         # Unconditional device placement: a leaf left as host numpy (any
@@ -232,8 +250,11 @@ def fast_forward(
     for blk in fast_params["blocks"]:
         y = _layer_norm(tokens, *blk["ln1"])
         qkv = y @ blk["wqkv"] + blk["bqkv"]                    # [B, N, 3D]
-        qkv = qkv.reshape(b, n, 3, heads, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]     # [B, N, H, hd]
+        # contiguous lane-aligned slices (measured 3 ms faster at b=128
+        # than reshape(b,n,3,h,hd) + leading-axis slicing)
+        q = qkv[..., :d].reshape(b, n, heads, hd)
+        k = qkv[..., d:2 * d].reshape(b, n, heads, hd)
+        v = qkv[..., 2 * d:].reshape(b, n, heads, hd)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
         attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
         y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, d)
@@ -244,7 +265,12 @@ def fast_forward(
 
     tokens = _layer_norm(tokens, *fast_params["final_ln"])
     y = tokens.reshape(b, gh, gw, d)
+    return _fast_decode(fast_params, y, matmul_upsample=matmul_upsample)
 
+
+def _fast_decode(fast_params: dict, y: jnp.ndarray, *, matmul_upsample: bool):
+    """Folded-BN decoder on an NHWC token grid (shared by fast_forward and
+    the hybrid path)."""
     for stage in fast_params["stages"]:
         cout = stage["up_w"].shape[1] // 4
         bb, hh, ww, _ = y.shape
@@ -267,6 +293,43 @@ def fast_forward(
     y = jax.nn.gelu(_conv3(y, fast_params["head_k"], fast_params["head_b"]))
     y = y @ fast_params["out_k"][0, 0] + fast_params["out_b"]
     return y.astype(jnp.float32)
+
+
+def make_hybrid_inference_fn(model):
+    """Large-batch inference: flax encoder + folded-BN conv_transpose
+    decoder.
+
+    In the HBM/MXU-bound regime the flax encoder beats every fused-QKV
+    variant (b=128 on v5e: 30.5 ms vs 32.2/34.7/37.9) while the folded
+    decoder beats the BatchNorm one (30.6 vs 34 ms) — the hybrid is the
+    fastest full forward measured at large batch (58.2 vs 61.8 ms).
+
+    Returns ``fn(weights, x)`` where ``weights`` comes from
+    :func:`optimize_for_hybrid` — {"enc": encoder variables,
+    "dec": fastpath tree} — so the signature matches `make_inference_fn`.
+    """
+    grid = model.image_size // model.patch_size
+
+    def infer(weights: dict, x: jnp.ndarray) -> jnp.ndarray:
+        b = x.shape[0]
+        tokens = model.apply(
+            weights["enc"], x.astype(model.dtype), train=False,
+            method=lambda m, xx, train: m.encoder(xx, train=train),
+        )
+        y = tokens.reshape(b, grid, grid, model.embed_dim)
+        return _fast_decode(weights["dec"], y, matmul_upsample=False)
+
+    return infer
+
+
+def optimize_for_hybrid(model, variables, dtype: Dtype = jnp.bfloat16) -> dict:
+    """Weights for :func:`make_hybrid_inference_fn`: the flax encoder
+    variables as-is (fp32 params, compute dtype applied by the module) and
+    the folded fastpath tree for the decoder."""
+    fp = optimize_for_inference(model, variables, dtype=dtype)
+    dec = {k: fp[k] for k in ("stages", "head_k", "head_b", "out_k", "out_b")}
+    enc = {"params": {"encoder": variables["params"]["encoder"]}}
+    return {"enc": enc, "dec": dec}
 
 
 def make_fast_inference_fn(model, matmul_upsample: bool = True):

@@ -48,17 +48,21 @@ class InferenceSession:
     ):
         """Build from a live (model, variables) pair or an exported artifact.
 
-        ``optimize`` enables the fastpath graph optimization (fused QKV,
-        folded BN, upsample-as-matmul — `msid_tpu.deployment.fastpath`,
-        the reference's onnxslim step, optimize_model.py:16-75):
-        True/False force it; "auto" uses it when the model config supports
-        it AND the batch size is in its measured win region, falling back
-        to `model.apply` otherwise.
+        ``optimize`` selects the inference graph
+        (`msid_tpu.deployment.fastpath` — the reference's onnxslim step,
+        optimize_model.py:16-75). "auto" (default) picks per batch size,
+        falling back to `model.apply` for unsupported model configs:
 
-        Measured crossover on one v5e chip (ms/iter, pipelined):
-        b=1 fast 2.42 vs regular 3.07; b=8 7.65 vs 7.51; b=32 33.8 vs
-        32.1; b=128 101 vs 62.5 — the fastpath is a launch-bound-regime
-        optimization, so "auto" uses it only for batch <= 4.
+          * batch <= FASTPATH_AUTO_MAX_BATCH → full fastpath (fused QKV +
+            folded BN + upsample-as-matmul): launch-bound regime,
+            b=1 2.42 vs 3.07 ms on one v5e chip.
+          * larger batches → hybrid (flax encoder + folded-BN
+            conv_transpose decoder): HBM/MXU-bound regime, b=128 58.2 vs
+            61.8 ms.
+
+        True forces the full fastpath (raises for unsupported configs);
+        False always uses `model.apply`. `self.optimized` records the
+        choice: "fastpath", "hybrid", or False.
         """
         self.batch_size = batch_size
         self.image_size = image_size
@@ -73,21 +77,28 @@ class InferenceSession:
             # Weights are a call argument (never baked as constants) and are
             # bound here after AOT compilation.
             infer = make_inference_fn(model)
-            want_fastpath = optimize is True or (
-                optimize == "auto" and batch_size <= FASTPATH_AUTO_MAX_BATCH
-            )
-            if want_fastpath:
+            if optimize is True or optimize == "auto":
                 from msid_tpu.deployment.fastpath import (
                     make_fast_inference_fn,
+                    make_hybrid_inference_fn,
+                    optimize_for_hybrid,
                     optimize_for_inference,
                 )
 
+                small = batch_size <= FASTPATH_AUTO_MAX_BATCH
                 try:
-                    variables = optimize_for_inference(
-                        model, variables, dtype=model.dtype
-                    )
-                    infer = make_fast_inference_fn(model)
-                    self.optimized = True
+                    if optimize is True or small:
+                        variables = optimize_for_inference(
+                            model, variables, dtype=model.dtype
+                        )
+                        infer = make_fast_inference_fn(model)
+                        self.optimized = "fastpath"
+                    else:
+                        variables = optimize_for_hybrid(
+                            model, variables, dtype=model.dtype
+                        )
+                        infer = make_hybrid_inference_fn(model)
+                        self.optimized = "hybrid"
                 except ValueError:
                     if optimize is True:
                         raise

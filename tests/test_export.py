@@ -112,3 +112,92 @@ def test_int8_artifact(tmp_path):
                                       rtol=0.5, atol=0.5)
     # int8 weight rounding: outputs close but not exact
     assert result.cosine_similarity > 0.98
+
+
+# ---------------- optimized (fastpath) artifact ----------------
+
+OPT_SMALL = dict(
+    image_size=32, patch_size=16, embed_dim=64, depth=2, num_heads=4,
+    decoder_channels=(16, 16, 8, 8), gradient_checkpointing=False,
+)  # fastpath needs the default unet_light + norm="batch"; 4 stages so the
+# decoder's 2^4 upsampling of the 2x2 token grid restores the 32px input
+
+
+@pytest.fixture(scope="module")
+def exported_optimized(tmp_path_factory):
+    model = SatMAERestoration(**OPT_SMALL, dtype=jnp.float32)
+    variables = init_model(model, jax.random.PRNGKey(0))
+    out = tmp_path_factory.mktemp("export_opt") / "artifact"
+    path = export_stablehlo(model, variables, out,
+                            input_shape=(1, 32, 32, 13), optimize=True)
+    return model, variables, path
+
+
+def test_optimized_artifact_meta_and_layout(exported_optimized):
+    import json
+
+    _, _, path = exported_optimized
+    meta = json.loads((path / "meta.json").read_text())
+    assert meta["optimized"] is True
+    assert meta["dtype"] == "float32"
+    # the fastpath payload round-trips its nested lists (blocks#i keys)
+    with np.load(path / "params.npz") as z:
+        assert any("#" in k for k in z.files)
+        assert any(k.startswith("blocks#0/") for k in z.files)
+
+
+def test_optimized_artifact_parity_and_dynamic_batch(exported_optimized):
+    model, variables, path = exported_optimized
+    assert verify_exported_model(path, input_shape=(1, 32, 32, 13),
+                                 batch_sizes=(1, 3))
+    # fp32 model: the artifact must match model.apply tightly even though
+    # the graph was rewritten (fused QKV, folded BN)
+    result = compare_live_vs_exported(model, variables, path,
+                                      input_shape=(2, 32, 32, 13),
+                                      rtol=2e-3, atol=1e-4)
+    assert result.cosine_similarity > 0.99999
+    assert result.max_abs_diff < 1e-2
+
+
+def test_optimized_session_from_artifact(exported_optimized):
+    from msid_tpu.deployment.inference import InferenceSession
+
+    _, _, path = exported_optimized
+    s = InferenceSession(artifact_path=path, batch_size=1, image_size=32)
+    x = np.random.default_rng(0).normal(0, 1, (1, 32, 32, 13)).astype(np.float32)
+    y = s.predict(x)
+    assert y.shape == x.shape and np.isfinite(y).all()
+
+
+def test_optimized_rejects_int8_combo(tmp_path):
+    model = SatMAERestoration(**OPT_SMALL)
+    variables = init_model(model, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="int8"):
+        export_stablehlo(model, variables, tmp_path / "bad",
+                         input_shape=(1, 32, 32, 13),
+                         optimize=True, int8_weights=True)
+
+
+def test_flatten_roundtrip_with_lists():
+    from msid_tpu.deployment.export import (
+        _flatten_variables,
+        _unflatten_variables,
+    )
+
+    tree = {
+        "a": np.arange(3.0),
+        "blocks": [
+            {"w": np.ones((2, 2)), "ln": [np.zeros(2), np.ones(2)]},
+            {"w": np.full((2, 2), 2.0), "ln": [np.ones(2), np.zeros(2)]},
+        ],
+        "nested": {"stages": [{"res": [{"k": np.eye(2)}]}]},
+    }
+    flat = _flatten_variables(tree)
+    back = _unflatten_variables(flat)
+    la, lb = jax.tree_util.tree_leaves(tree), jax.tree_util.tree_leaves(back)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert isinstance(back["blocks"], list) and len(back["blocks"]) == 2
+    assert isinstance(back["blocks"][0]["ln"], list)
+    assert isinstance(back["nested"]["stages"][0]["res"], list)

@@ -92,6 +92,29 @@ def test_fastpath_flagship_shapes():
     np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-4, atol=2e-5)
 
 
+def test_hybrid_matches_model_fp32():
+    """The hybrid large-batch path (flax encoder + folded-BN ct decoder)
+    must match model.apply numerically — only the decoder is rewritten."""
+    from msid_tpu.deployment.fastpath import (
+        make_hybrid_inference_fn,
+        optimize_for_hybrid,
+    )
+
+    model = _tiny_model()
+    variables = init_model(model, jax.random.PRNGKey(0))
+    variables = dict(variables)
+    variables["batch_stats"] = _random_stats(
+        variables["batch_stats"], jax.random.PRNGKey(1)
+    )
+    x = jax.random.uniform(
+        jax.random.PRNGKey(2), (3, 32, 32, 13), jnp.float32, -2.0, 2.0
+    )
+    ref = np.asarray(model.apply(variables, x, train=False))
+    w = optimize_for_hybrid(model, variables, dtype=jnp.float32)
+    got = np.asarray(jax.jit(make_hybrid_inference_fn(model))(w, x))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+
 def test_fastpath_rejects_unsupported():
     model = _tiny_model(decoder_arch="unet")
     variables = init_model(model, jax.random.PRNGKey(0))
@@ -100,8 +123,9 @@ def test_fastpath_rejects_unsupported():
 
 
 def test_session_auto_gates_fastpath_by_batch():
-    """optimize="auto" picks the fastpath only in its measured win region
-    (small batch, launch-bound); large batches keep model.apply."""
+    """optimize="auto" picks the full fastpath in its measured win region
+    (small batch, launch-bound) and the hybrid (flax encoder + folded
+    decoder) above it."""
     from msid_tpu.deployment.inference import InferenceSession
 
     model = _tiny_model()
@@ -109,15 +133,15 @@ def test_session_auto_gates_fastpath_by_batch():
 
     small = InferenceSession(model=model, variables=variables,
                              batch_size=1, image_size=32)
-    assert small.optimized
+    assert small.optimized == "fastpath"
 
     big = InferenceSession(model=model, variables=variables,
                            batch_size=8, image_size=32)
-    assert not big.optimized
+    assert big.optimized == "hybrid"
 
     forced = InferenceSession(model=model, variables=variables,
                               batch_size=8, image_size=32, optimize=True)
-    assert forced.optimized
+    assert forced.optimized == "fastpath"
 
     x = np.random.default_rng(0).normal(0, 1, (1, 32, 32, 13)).astype(np.float32)
     ya = small.predict(x)
