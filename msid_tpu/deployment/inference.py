@@ -45,6 +45,7 @@ class InferenceSession:
         num_bands: int = 13,
         donate_input: bool = False,
         optimize: bool | str = "auto",
+        mesh=None,
     ):
         """Build from a live (model, variables) pair or an exported artifact.
 
@@ -63,6 +64,13 @@ class InferenceSession:
         True forces the full fastpath (raises for unsupported configs);
         False always uses `model.apply`. `self.optimized` records the
         choice: "fastpath", "hybrid", or False.
+
+        ``mesh`` (a `jax.sharding.Mesh` with a "data" axis) runs
+        data-parallel serving: the batch is sharded over the mesh's data
+        axis, weights are replicated, and XLA keeps the whole step on
+        ICI — no per-chip Python dispatch. ``batch_size`` must divide
+        evenly by the data-axis size. Not supported with
+        ``artifact_path`` (a serialized module has no mesh).
         """
         self.batch_size = batch_size
         self.image_size = image_size
@@ -70,7 +78,11 @@ class InferenceSession:
         self.optimized = False
         self.input_shape = (batch_size, image_size, image_size, num_bands)
 
+        self._input_sharding = None
         if artifact_path is not None:
+            if mesh is not None:
+                raise ValueError("mesh serving needs model+variables, "
+                                 "not a serialized artifact")
             self._fn = load_exported(artifact_path)
             self._compiled = None
         elif model is not None and variables is not None:
@@ -103,14 +115,44 @@ class InferenceSession:
                     if optimize is True:
                         raise
             donate = (1,) if donate_input else ()
-            jitted = jax.jit(infer, donate_argnums=donate)
-            var_shapes = jax.tree_util.tree_map(
-                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables
-            )
-            self._compiled = jitted.lower(
-                var_shapes, jax.ShapeDtypeStruct(self.input_shape, jnp.float32)
-            ).compile()
-            variables = jax.device_put(variables)
+            if mesh is not None:
+                from msid_tpu.parallel.mesh import batch_sharded, replicated
+
+                data_size = mesh.shape.get("data", 1)
+                if batch_size % max(data_size, 1) != 0:
+                    raise ValueError(
+                        f"batch_size {batch_size} must divide by the mesh "
+                        f"data axis ({data_size})"
+                    )
+                var_sharding = replicated(mesh)
+                self._input_sharding = batch_sharded(mesh)
+                jitted = jax.jit(
+                    infer,
+                    in_shardings=(var_sharding, self._input_sharding),
+                    out_shardings=self._input_sharding,
+                    donate_argnums=donate,
+                )
+                var_struct = jax.tree_util.tree_map(
+                    lambda a: jax.ShapeDtypeStruct(
+                        a.shape, a.dtype, sharding=var_sharding
+                    ),
+                    variables,
+                )
+                x_struct = jax.ShapeDtypeStruct(
+                    self.input_shape, jnp.float32,
+                    sharding=self._input_sharding,
+                )
+                self._compiled = jitted.lower(var_struct, x_struct).compile()
+                variables = jax.device_put(variables, var_sharding)
+            else:
+                jitted = jax.jit(infer, donate_argnums=donate)
+                var_shapes = jax.tree_util.tree_map(
+                    lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables
+                )
+                self._compiled = jitted.lower(
+                    var_shapes, jax.ShapeDtypeStruct(self.input_shape, jnp.float32)
+                ).compile()
+                variables = jax.device_put(variables)
             self._fn = lambda x: self._compiled(variables, x)
         else:
             raise ValueError("Provide model+variables or artifact_path")
@@ -129,6 +171,8 @@ class InferenceSession:
             raise ValueError(
                 f"AOT session compiled for batch {self.batch_size}, got {x.shape[0]}"
             )
+        if self._input_sharding is not None:
+            x = jax.device_put(x, self._input_sharding)
         return np.asarray(self._fn(x))
 
     def benchmark(
@@ -151,7 +195,8 @@ class InferenceSession:
                     jax.random.PRNGKey(seed), self.input_shape, jnp.float32,
                     minval=-2.0, maxval=2.0,
                 )
-            )
+            ),
+            self._input_sharding,
         )
         def run_and_wait(x):
             # Materialize a scalar instead of block_until_ready: on relayed

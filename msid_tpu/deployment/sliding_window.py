@@ -47,22 +47,45 @@ def _window_origins(size: int, window: int, stride: int) -> list:
     return starts
 
 
-def make_scene_step(model, variables, window: int, model_size: int):
+def make_scene_step(model, variables, window: int, model_size: int,
+                    optimize: bool | str = "auto"):
     """Jitted per-batch pipeline: raw windows -> preprocess -> denoise ->
     back to native window resolution, in model range.
 
     ``variables`` is passed as a jit *argument* (bound here with partial),
     never closed over: a closure would bake ~190 MB of weights into the
     program as constants — enormous executables, and remote-compile
-    transports reject the oversized request outright (HTTP 413)."""
+    transports reject the oversized request outright (HTTP 413).
+
+    ``optimize="auto"`` uses the hybrid inference graph (flax encoder +
+    folded-BN decoder — deployment.fastpath, 58.2 vs 61.8 ms per batch of
+    128 on v5e) when the model config supports it; scenes always run at
+    throughput batch sizes, so the small-batch fastpath never applies."""
     import functools
 
     from msid_tpu.ops.preprocess import preprocess_tiles
 
+    forward = None
+    if optimize is True or optimize == "auto":
+        from msid_tpu.deployment.fastpath import (
+            make_hybrid_inference_fn,
+            optimize_for_hybrid,
+        )
+
+        try:
+            variables = optimize_for_hybrid(model, variables, dtype=model.dtype)
+            forward = make_hybrid_inference_fn(model)
+        except ValueError:
+            if optimize is True:
+                raise
+    if forward is None:
+        def forward(variables, x):
+            return model.apply(variables, x, train=False)
+
     @jax.jit
     def step(variables, batch):
         clean_in = preprocess_tiles(batch, model_size)
-        out = model.apply(variables, clean_in, train=False).astype(jnp.float32)
+        out = forward(variables, clean_in).astype(jnp.float32)
         if model_size != window:
             b, _, _, c = out.shape
             out = jax.image.resize(

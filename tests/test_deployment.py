@@ -95,6 +95,29 @@ def test_restore_scene_matches_single_window(model_and_vars):
     assert np.allclose(out, direct, atol=1e-4)
 
 
+def test_scene_step_hybrid_matches_plain():
+    """With a BatchNorm model the scene step picks the hybrid (folded-BN)
+    graph; it must match the plain model.apply step numerically."""
+    from msid_tpu.deployment.sliding_window import make_scene_step
+
+    model = SatMAERestoration(
+        image_size=32, patch_size=16, embed_dim=64, depth=1, num_heads=2,
+        decoder_channels=(16, 8, 8, 8), gradient_checkpointing=False,
+    )
+    variables = init_model(model, jax.random.PRNGKey(0))
+    batch = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 10000, (2, 64, 64, 13)),
+        jnp.float32,
+    )
+    plain = make_scene_step(model, variables, window=64, model_size=32,
+                            optimize=False)
+    hybrid = make_scene_step(model, variables, window=64, model_size=32)
+    np.testing.assert_allclose(
+        np.asarray(hybrid(batch)), np.asarray(plain(batch)),
+        rtol=2e-4, atol=2e-5,
+    )
+
+
 # ---------------- visualization ----------------
 
 

@@ -157,3 +157,27 @@ def test_tp_train_step_matches_single_device():
     # the updated fc1 kernel is still model-sharded (no silent gather)
     spec = s2.params["encoder"]["blocks_0"]["mlp"]["fc1"]["kernel"].sharding.spec
     assert "model" in str(spec)
+
+
+# ---------------- data-parallel inference session ----------------
+
+
+def test_mesh_inference_session_matches_single_device(mesh, setup):
+    """InferenceSession(mesh=...) shards the batch over the data axis and
+    must reproduce the single-device session (same program,
+    GSPMD-partitioned — reductions may reassociate, hence the tolerance)."""
+    from msid_tpu.deployment.inference import InferenceSession
+
+    model, variables, _, _ = setup
+    x = np.random.default_rng(0).normal(0, 1, (8, 64, 64, 13)).astype(np.float32)
+
+    single = InferenceSession(model=model, variables=variables,
+                              batch_size=8, image_size=64)
+    sharded = InferenceSession(model=model, variables=variables,
+                               batch_size=8, image_size=64, mesh=mesh)
+    np.testing.assert_allclose(sharded.predict(x), single.predict(x),
+                               rtol=1e-3, atol=5e-5)
+
+    with pytest.raises(ValueError, match="divide"):
+        InferenceSession(model=model, variables=variables,
+                         batch_size=6, image_size=64, mesh=mesh)
