@@ -74,8 +74,11 @@ def main():
     forward = jax.jit(lambda v, x: model.apply(v, x, train=False))
 
     # -- 1. single-image latency ---------------------------------------
+    # b=1 steps are ~2-4 ms, so the single trailing sync (~tens of ms on a
+    # relayed transport) biases small iteration counts; use 10x iters.
+    iters1 = iters * 10
     x1 = jnp.asarray(rng.normal(size=(1, 192, 192, 13)), jnp.bfloat16)
-    ms = timeit(forward, variables, x1, iters=iters)
+    ms = timeit(forward, variables, x1, iters=iters1)
     results["1_single_image_ms"] = round(ms, 3)
     results["1_vs_reference"] = round(REFERENCE["single_image_ms"] / ms, 2)
     print(json.dumps({"bench": "single_image", "ms": round(ms, 3),
@@ -87,7 +90,7 @@ def main():
     )
     fp = optimize_for_inference(model, variables, dtype=jnp.bfloat16)
     fast1 = jax.jit(make_fast_inference_fn(model))
-    ms = timeit(fast1, fp, x1, iters=iters)
+    ms = timeit(fast1, fp, x1, iters=iters1)
     results["1b_single_image_fastpath_ms"] = round(ms, 3)
     results["1b_vs_reference"] = round(REFERENCE["single_image_ms"] / ms, 2)
     print(json.dumps({"bench": "single_image_fastpath", "ms": round(ms, 3),
@@ -145,22 +148,29 @@ def main():
                       "vs_ref": results["4_vs_reference"]}))
 
     # -- 5. sliding-window full scene -------------------------------------
-    from msid_tpu.deployment.sliding_window import make_scene_step, restore_scene
+    # device_assembly keeps gather/denoise/blend on device: the scene is
+    # uploaded once and the restored scene downloaded once (the per-batch
+    # 13.6 MB round trips of host assembly dominate on relayed transports).
+    from msid_tpu.deployment.sliding_window import (
+        make_device_scene_step,
+        restore_scene,
+    )
 
     scene = rng.uniform(0, 10000, (640, 640, 13)).astype(np.float32)
-    scene_step = make_scene_step(model, variables, window=64, model_size=192)
+    scene_step = make_device_scene_step(model, variables, window=64,
+                                        model_size=192, overlap=16)
     # warm (compile) once — real scenes are ~10980² where compile amortizes
-    restore_scene(model, variables, scene[:128, :128], window=64, overlap=16,
-                  model_size=192, batch_size=64, step=scene_step)
+    restore_scene(model, variables, scene, window=64, overlap=16,
+                  model_size=192, batch_size=64, device_assembly=True,
+                  step=scene_step)
     t0 = time.perf_counter()
     out = restore_scene(model, variables, scene, window=64, overlap=16,
-                        model_size=192, batch_size=64, step=scene_step)
+                        model_size=192, batch_size=64, device_assembly=True,
+                        step=scene_step)
     dt = time.perf_counter() - t0
     mpix = scene.shape[0] * scene.shape[1] / 1e6
     results["5_scene_mpix_per_sec"] = round(mpix / dt, 2)
     results["5_scene_s_per_640px"] = round(dt, 2)
-    # NB: through a tunneled/relayed device this is host<->device transfer
-    # bound (13.6 MB up + down per 64-window batch), not compute bound.
     print(json.dumps({"bench": "full_scene", "mpix_per_sec": results["5_scene_mpix_per_sec"]}))
 
     out_path = Path(__file__).parent / "results.json"

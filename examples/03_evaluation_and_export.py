@@ -99,8 +99,12 @@ def main():
     # -- 4. inference benchmark ------------------------------------------
     from msid_tpu.deployment import InferenceSession
 
+    # optimize="auto" (default) picks the inference graph per batch size:
+    # the fastpath (fused QKV + folded BN; 1.71 ms b=1 on v5e) for small
+    # batches, the hybrid folded-BN decoder graph for large ones.
     session = InferenceSession(model=model, variables=variables, batch_size=1,
                                image_size=size, num_bands=shape[3])
+    print(f"inference graph: {session.optimized or 'model.apply'}")
     stats = session.benchmark(warmup_runs=5, benchmark_iterations=20)
     print(f"b=1 latency: {stats['mean_ms']:.2f} ms ({stats['images_per_sec']:.0f} img/s)")
 

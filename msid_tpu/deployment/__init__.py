@@ -20,12 +20,17 @@ from msid_tpu.deployment.quantize import (
     quantization_report,
     quantize_params,
 )
-from msid_tpu.deployment.sliding_window import make_scene_step, restore_scene
+from msid_tpu.deployment.sliding_window import (
+    make_device_scene_step,
+    make_scene_step,
+    restore_scene,
+)
 
 __all__ = [
     "ComparisonResult",
     "InferenceSession",
     "dequantize_params",
+    "make_device_scene_step",
     "make_scene_step",
     "quantization_report",
     "quantize_params",

@@ -20,8 +20,8 @@ inference-optimal form, and run a leaner forward:
     reshape/transpose, then one [B*144, 3328] @ [3328, 768] matmul.
 
 This cuts the b=1 dispatch count (the model is launch-bound at batch 1)
-and removes HBM round-trips between conv and norm: b=1 latency 1.71 ms
-vs 3.07 for `model.apply` on one v5e chip. In the HBM/MXU-bound
+and removes HBM round-trips between conv and norm: b=1 latency 1.46 ms
+vs 1.80 for `model.apply` on one v5e chip (200-iter pipelined loops). In the HBM/MXU-bound
 large-batch regime the full fastpath LOSES (see
 benchmarks/fastpath_ab.py); there the winning graph is the hybrid
 (:func:`make_hybrid_inference_fn`) — flax encoder + the folded-BN

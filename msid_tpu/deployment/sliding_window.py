@@ -47,22 +47,14 @@ def _window_origins(size: int, window: int, stride: int) -> list:
     return starts
 
 
-def make_scene_step(model, variables, window: int, model_size: int,
-                    optimize: bool | str = "auto"):
-    """Jitted per-batch pipeline: raw windows -> preprocess -> denoise ->
-    back to native window resolution, in model range.
-
-    ``variables`` is passed as a jit *argument* (bound here with partial),
-    never closed over: a closure would bake ~190 MB of weights into the
-    program as constants — enormous executables, and remote-compile
-    transports reject the oversized request outright (HTTP 413).
-
-    ``optimize="auto"`` uses the hybrid inference graph (flax encoder +
-    folded-BN decoder — deployment.fastpath, 58.2 vs 61.8 ms per batch of
-    128 on v5e) when the model config supports it; scenes always run at
-    throughput batch sizes, so the small-batch fastpath never applies."""
-    import functools
-
+def _make_scene_forward(model, variables, window: int, model_size: int,
+                        optimize: bool | str):
+    """Select the per-batch forward (hybrid folded-BN graph when the model
+    supports it, else `model.apply`) and return ``(variables, raw_step)``
+    with ``raw_step(variables, batch)`` UNJITTED — callers jit it with
+    variables as an argument (closing over them would bake ~190 MB of
+    weights into the program as constants; remote-compile transports
+    reject the oversized request outright, HTTP 413)."""
     from msid_tpu.ops.preprocess import preprocess_tiles
 
     forward = None
@@ -82,8 +74,7 @@ def make_scene_step(model, variables, window: int, model_size: int,
         def forward(variables, x):
             return model.apply(variables, x, train=False)
 
-    @jax.jit
-    def step(variables, batch):
+    def raw_step(variables, batch):
         clean_in = preprocess_tiles(batch, model_size)
         out = forward(variables, clean_in).astype(jnp.float32)
         if model_size != window:
@@ -92,6 +83,82 @@ def make_scene_step(model, variables, window: int, model_size: int,
                 out, (b, window, window, c), method="bilinear", antialias=False
             )
         return out
+
+    return variables, raw_step
+
+
+def make_scene_step(model, variables, window: int, model_size: int,
+                    optimize: bool | str = "auto"):
+    """Jitted per-batch pipeline: raw windows -> preprocess -> denoise ->
+    back to native window resolution, in model range.
+
+    ``variables`` is passed as a jit *argument* (bound here with partial),
+    never closed over — see :func:`_make_scene_forward`.
+
+    ``optimize="auto"`` uses the hybrid inference graph (flax encoder +
+    folded-BN decoder — deployment.fastpath, 58.2 vs 61.8 ms per batch of
+    128 on v5e) when the model config supports it; scenes always run at
+    throughput batch sizes, so the small-batch fastpath never applies."""
+    import functools
+
+    variables, raw_step = _make_scene_forward(
+        model, variables, window, model_size, optimize
+    )
+    return functools.partial(jax.jit(raw_step), variables)
+
+
+def make_device_scene_step(model, variables, window: int, model_size: int,
+                           overlap: int, optimize: bool | str = "auto"):
+    """Device-resident per-batch pipeline for :func:`restore_scene` with
+    ``device_assembly=True``: gather a batch of windows out of the
+    device-resident scene, denoise, and blend-accumulate into device
+    output buffers — no per-batch host↔device tile traffic (which on
+    relayed transports dominates the assembly-on-host path).
+
+    Signature of the returned jit:
+        (scene, out_sum, w_sum, origins[B,2] i32, valid[B] f32)
+          -> (out_sum, w_sum)
+    Overlapping windows within a batch are accumulated with a sequential
+    `lax.scan` of dynamic_update_slices (a parallel scatter-add would race
+    on the overlap margins). Padded slots carry ``valid=0`` weights.
+    """
+    import functools
+
+    variables, raw_step = _make_scene_forward(
+        model, variables, window, model_size, optimize
+    )
+    wts = jnp.asarray(_blend_weights(window, overlap))[:, :, None]
+
+    @jax.jit
+    def step(variables, scene, out_sum, w_sum, origins, valid):
+        def gather(origin):
+            return jax.lax.dynamic_slice(
+                scene, (origin[0], origin[1], 0),
+                (window, window, scene.shape[2]),
+            )
+
+        batch = jax.vmap(gather)(origins)           # [B, win, win, C]
+        tiles = raw_step(variables, batch)          # [B, win, win, C]
+
+        def accum(carry, item):
+            out_sum, w_sum = carry
+            tile, origin, v = item
+            y, x = origin[0], origin[1]
+            cur = jax.lax.dynamic_slice(
+                out_sum, (y, x, 0), (window, window, out_sum.shape[2])
+            )
+            out_sum = jax.lax.dynamic_update_slice(
+                out_sum, cur + tile * wts * v, (y, x, 0)
+            )
+            curw = jax.lax.dynamic_slice(w_sum, (y, x, 0), (window, window, 1))
+            w_sum = jax.lax.dynamic_update_slice(w_sum, curw + wts * v, (y, x, 0))
+            return (out_sum, w_sum), None
+
+        (out_sum, w_sum), _ = jax.lax.scan(
+            accum, (out_sum, w_sum),
+            (tiles, origins, valid[:, None, None, None]),
+        )
+        return out_sum, w_sum
 
     return functools.partial(step, variables)
 
@@ -106,6 +173,7 @@ def restore_scene(
     batch_size: int = 64,
     progress: Optional[callable] = None,
     step: Optional[callable] = None,
+    device_assembly: bool = False,
 ) -> np.ndarray:
     """Denoise a full [H, W, C] scene; returns fp32 [H, W, C] in model range
     (use `msid_tpu.ops.preprocess.from_model_range` for reflectance).
@@ -116,14 +184,45 @@ def restore_scene(
         overlap: pixels of overlap between adjacent windows.
         model_size: the model's input resolution (window is upsampled to it).
         batch_size: windows per device step (static shape; last batch pads).
-        step: reuse a `make_scene_step` result across calls (skips the
-            per-call jit compile when restoring many scenes).
+        step: reuse a `make_scene_step` / `make_device_scene_step` result
+            across calls (skips the per-call jit compile when restoring
+            many scenes).
+        device_assembly: keep the whole pipeline device-resident — upload
+            the scene once, gather/denoise/blend on device, download the
+            restored scene once. Removes the per-batch host↔device tile
+            traffic (the bottleneck on relayed transports) at the cost of
+            scene + two accumulators in HBM (fp32: ~3x the scene size).
     """
     h, w, c = scene.shape
     stride = window - overlap
     ys = _window_origins(h, window, stride)
     xs = _window_origins(w, window, stride)
     origins = [(y, x) for y in ys for x in xs]
+
+    if device_assembly:
+        if step is None:
+            step = make_device_scene_step(model, variables, window,
+                                          model_size, overlap)
+        dev_scene = jnp.asarray(np.asarray(scene, np.float32))
+        out_sum_d = jnp.zeros((h, w, c), jnp.float32)
+        w_sum_d = jnp.zeros((h, w, 1), jnp.float32)
+        all_origins = np.asarray(origins, np.int32)
+        for i in range(0, len(origins), batch_size):
+            chunk = all_origins[i : i + batch_size]
+            valid = np.ones(len(chunk), np.float32)
+            if len(chunk) < batch_size:
+                pad = batch_size - len(chunk)
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, 2), np.int32)], axis=0
+                )
+                valid = np.concatenate([valid, np.zeros(pad, np.float32)])
+            out_sum_d, w_sum_d = step(
+                dev_scene, out_sum_d, w_sum_d,
+                jnp.asarray(chunk), jnp.asarray(valid),
+            )
+            if progress:
+                progress(i, len(origins))
+        return np.asarray(out_sum_d / w_sum_d)
 
     if step is None:
         step = make_scene_step(model, variables, window, model_size)

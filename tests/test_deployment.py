@@ -256,3 +256,21 @@ def test_notebook_helpers(tmp_path, model_and_vars):
     for f in ("b.png", "n.png", "e.png", "h.png"):
         assert (tmp_path / f).stat().st_size > 1000
     nb.print_evaluation_summary({"psnr": 30.0, "ssim": 0.9, "sam": 2.0})
+
+
+def test_restore_scene_device_assembly_matches_host(model_and_vars):
+    """device_assembly=True keeps gather/denoise/blend on device; it must
+    reproduce the host-assembly result (same windows, weights, order)."""
+    from msid_tpu.deployment.sliding_window import restore_scene
+
+    model, variables = model_and_vars
+    rng = np.random.default_rng(5)
+    scene = rng.uniform(0, 10000, (112, 160, 13)).astype(np.float32)
+
+    host = restore_scene(model, variables, scene,
+                         window=64, overlap=16, model_size=64, batch_size=3)
+    dev = restore_scene(model, variables, scene,
+                        window=64, overlap=16, model_size=64, batch_size=3,
+                        device_assembly=True)
+    assert dev.shape == scene.shape and np.isfinite(dev).all()
+    np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-4)
