@@ -95,34 +95,68 @@ def main():
 
     if args.parts:
         bmax = max(batches)
-        tok = jnp.asarray(rng.normal(size=(bmax, 12, 12, 768)), jnp.bfloat16)
+        grid = model.image_size // model.patch_size
+        tok = jnp.asarray(
+            rng.normal(size=(bmax, grid, grid, model.embed_dim)), jnp.bfloat16
+        )
 
-        def dec(fpp, y, matmul_up):
-            for stage in fpp["stages"]:
-                cout = stage["up_w"].shape[1] // 4
-                bb, hh, ww, _ = y.shape
-                if matmul_up:
-                    up = y.reshape(bb * hh * ww, -1) @ stage["up_w"] + stage["up_b"]
-                    up = (up.reshape(bb, hh, ww, 2, 2, cout)
-                          .transpose(0, 1, 3, 2, 4, 5)
-                          .reshape(bb, hh * 2, ww * 2, cout))
-                else:
-                    up = jax.lax.conv_transpose(
-                        y, stage["up_ct"].astype(y.dtype), strides=(2, 2),
-                        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    ) + stage["up_ct_b"].astype(y.dtype)
-                y = jax.nn.gelu(up)
-                for res in stage["res"]:
-                    z = jax.nn.gelu(fastpath._conv3(y, res["k1"], res["b1"]))
-                    z = fastpath._conv3(z, res["k2"], res["b2"])
-                    y = jax.nn.gelu(y + z)
-            y = jax.nn.gelu(fastpath._conv3(y, fpp["head_k"], fpp["head_b"]))
-            return y @ fpp["out_k"][0, 0] + fpp["out_b"]
-
+        # decoder lowering: the production _fast_decode, both upsample forms
         for mu in (True, False):
-            f = jax.jit(functools.partial(dec, matmul_up=mu))
+            f = jax.jit(functools.partial(fastpath._fast_decode, matmul_upsample=mu))
             print(f"B={bmax:3d} decoder matmul_up={mu}: {_timeit(f, fp, tok, n=args.iters):.3f} ms",
                   flush=True)
+
+        # encoder lowering: QKV fusion/slicing strategy x softmax dtype
+        xb = jnp.asarray(rng.normal(size=(bmax, 192, 192, 13)), jnp.bfloat16)
+
+        def enc(fpp, x, qkv_mode, sm32):
+            pz, heads, D = model.patch_size, model.num_heads, model.embed_dim
+            hd = D // heads
+            dtype = fpp["patch_w"].dtype
+            b, h, w, c = x.shape
+            gh, gw = h // pz, w // pz
+            n = gh * gw
+            x = x.astype(dtype)
+            patches = x.reshape(b, gh, pz, gw, pz, c).transpose(0, 1, 3, 2, 4, 5)
+            t = patches.reshape(b, n, pz * pz * c) @ fpp["patch_w"] + fpp["patch_b"]
+            t = fastpath._layer_norm(t, *fpp["patch_ln"]) + fpp["pos_embed"].astype(dtype)
+            for blk in fpp["blocks"]:
+                y = fastpath._layer_norm(t, *blk["ln1"])
+                if qkv_mode == "fused_reshape":
+                    qkv = (y @ blk["wqkv"] + blk["bqkv"]).reshape(b, n, 3, heads, hd)
+                    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+                elif qkv_mode == "fused_contig":  # the shipped fast_forward form
+                    qkv = y @ blk["wqkv"] + blk["bqkv"]
+                    q = qkv[..., :D].reshape(b, n, heads, hd)
+                    k = qkv[..., D:2 * D].reshape(b, n, heads, hd)
+                    v = qkv[..., 2 * D:].reshape(b, n, heads, hd)
+                else:  # "split": three matmuls, flax-style
+                    q = (y @ blk["wqkv"][:, :D] + blk["bqkv"][:D]).reshape(b, n, heads, hd)
+                    k = (y @ blk["wqkv"][:, D:2 * D] + blk["bqkv"][D:2 * D]).reshape(b, n, heads, hd)
+                    v = (y @ blk["wqkv"][:, 2 * D:] + blk["bqkv"][2 * D:]).reshape(b, n, heads, hd)
+                sc = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+                if sm32:
+                    a = jax.nn.softmax(sc.astype(jnp.float32), axis=-1).astype(dtype)
+                else:
+                    a = jax.nn.softmax(sc, axis=-1)
+                y = jnp.einsum("bhqk,bkhd->bqhd", a, v).reshape(b, n, D)
+                t = t + (y @ blk["wout"] + blk["bout"])
+                y = fastpath._layer_norm(t, *blk["ln2"])
+                y = jax.nn.gelu(y @ blk["w1"] + blk["b1"])
+                t = t + (y @ blk["w2"] + blk["b2"])
+            return fastpath._layer_norm(t, *fpp["final_ln"])
+
+        def enc_flax(v, x):
+            return model.apply(v, x, train=False,
+                               method=lambda m, xx, train: m.encoder(xx, train=train))
+
+        print(f"B={bmax:3d} encoder flax: {_timeit(jax.jit(enc_flax), variables, xb, n=args.iters):.3f} ms",
+              flush=True)
+        for mode in ("fused_contig", "fused_reshape", "split"):
+            for sm32 in (True, False):
+                f = jax.jit(functools.partial(enc, qkv_mode=mode, sm32=sm32))
+                print(f"B={bmax:3d} encoder {mode} sm32={sm32}: {_timeit(f, fp, xb, n=args.iters):.3f} ms",
+                      flush=True)
 
 
 if __name__ == "__main__":

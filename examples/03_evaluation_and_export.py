@@ -100,7 +100,7 @@ def main():
     from msid_tpu.deployment import InferenceSession
 
     # optimize="auto" (default) picks the inference graph per batch size:
-    # the fastpath (fused QKV + folded BN; 1.71 ms b=1 on v5e) for small
+    # the fastpath (fused QKV + folded BN; 1.46 ms b=1 on v5e) for small
     # batches, the hybrid folded-BN decoder graph for large ones.
     session = InferenceSession(model=model, variables=variables, batch_size=1,
                                image_size=size, num_bands=shape[3])

@@ -50,7 +50,12 @@ def make_inference_fn(model):
 def _flatten_variables(variables, prefix: str = "") -> dict:
     """Flatten a dict/list pytree to '/'-joined keys. List elements get a
     `name#i` key segment so :func:`_unflatten_variables` can rebuild the
-    list (the fastpath tree nests lists: blocks, stages, res)."""
+    list (the fastpath tree nests lists: blocks, stages, res).
+
+    Empty containers cannot round-trip through flat keys (they would be
+    silently dropped, corrupting the pytree structure the serialized
+    module expects) — raise instead of corrupting.
+    """
     flat = {}
     if isinstance(variables, dict):
         items = list(variables.items())
@@ -58,6 +63,11 @@ def _flatten_variables(variables, prefix: str = "") -> dict:
         items = [(f"{i}", v) for i, v in enumerate(variables)]
     for k, v in items:
         key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, (dict, list, tuple)) and len(v) == 0:
+            raise ValueError(
+                f"cannot serialize empty container at {key!r} — it would "
+                "not survive the flat key/value round trip"
+            )
         if isinstance(v, dict):
             flat.update(_flatten_variables(v, key))
         elif isinstance(v, (list, tuple)):

@@ -26,9 +26,10 @@ from msid_tpu.deployment.export import load_exported, make_inference_fn
 logger = logging.getLogger(__name__)
 
 # Largest batch at which optimize="auto" picks the fastpath. The fastpath
-# wins in the launch-bound regime (b=1: 2.42 vs 3.07 ms measured on v5e)
-# and loses in the HBM/MXU-bound regime (b=128: 101 vs 62.5 ms); the
-# crossover sits between b=4 and b=8.
+# wins in the launch-bound regime (b=1: 1.46 vs 1.80 ms on v5e,
+# 200-iteration pipelined loops) and loses in the HBM/MXU-bound regime
+# (b=128: 101 vs 61.8 ms); b=8 is already a wash (7.65 vs 7.51 —
+# benchmarks/fastpath_ab.py), hence the conservative threshold.
 FASTPATH_AUTO_MAX_BATCH = 4
 
 
@@ -56,7 +57,7 @@ class InferenceSession:
 
           * batch <= FASTPATH_AUTO_MAX_BATCH → full fastpath (fused QKV +
             folded BN + upsample-as-matmul): launch-bound regime,
-            b=1 2.42 vs 3.07 ms on one v5e chip.
+            b=1 1.46 vs 1.80 ms on one v5e chip.
           * larger batches → hybrid (flax encoder + folded-BN
             conv_transpose decoder): HBM/MXU-bound regime, b=128 58.2 vs
             61.8 ms.
@@ -228,19 +229,30 @@ class InferenceSession:
         mean_ms = float(times_ms.mean())
         results = {
             "mean_ms": mean_ms,
-            "std_ms": float(times_ms.std()),
-            "min_ms": float(times_ms.min()),
-            "max_ms": float(times_ms.max()),
-            "p50_ms": float(np.percentile(times_ms, 50)),
-            "p99_ms": float(np.percentile(times_ms, 99)),
             "fps": 1e3 / mean_ms,
             "images_per_sec": self.batch_size * 1e3 / mean_ms,
             "batch_size": self.batch_size,
             "iterations": benchmark_iterations,
         }
-        logger.info(
-            "Inference benchmark: %.3f±%.3f ms (min %.3f) → %.1f img/s",
-            results["mean_ms"], results["std_ms"], results["min_ms"],
-            results["images_per_sec"],
-        )
+        if pipelined:
+            # One trailing sync gives ONE aggregate sample — there is no
+            # per-iteration distribution to report; fabricating p50/p99
+            # from the mean would let latency-SLO checks silently pass.
+            results.update({"std_ms": None, "min_ms": None, "max_ms": None,
+                            "p50_ms": None, "p99_ms": None})
+            logger.info("Inference benchmark (pipelined): %.3f ms/iter → %.1f img/s",
+                        mean_ms, results["images_per_sec"])
+        else:
+            results.update({
+                "std_ms": float(times_ms.std()),
+                "min_ms": float(times_ms.min()),
+                "max_ms": float(times_ms.max()),
+                "p50_ms": float(np.percentile(times_ms, 50)),
+                "p99_ms": float(np.percentile(times_ms, 99)),
+            })
+            logger.info(
+                "Inference benchmark: %.3f±%.3f ms (min %.3f) → %.1f img/s",
+                results["mean_ms"], results["std_ms"], results["min_ms"],
+                results["images_per_sec"],
+            )
         return results

@@ -129,7 +129,11 @@ def make_device_scene_step(model, variables, window: int, model_size: int,
     )
     wts = jnp.asarray(_blend_weights(window, overlap))[:, :, None]
 
-    @jax.jit
+    # Donate the accumulators: without donation every batch step allocates
+    # fresh full-scene outputs and copies both accumulators (2x HBM and
+    # ~13 GB of traffic per step at real 10980² scene scale); with it the
+    # scan's dynamic_update_slices alias in place.
+    @functools.partial(jax.jit, donate_argnums=(2, 3))
     def step(variables, scene, out_sum, w_sum, origins, valid):
         def gather(origin):
             return jax.lax.dynamic_slice(

@@ -99,13 +99,25 @@ def main():
 
     opt_cfg = export_cfg.get("optimization", {})
     use_int8 = bool(args.int8 or opt_cfg.get("use_int8_quantization", False))
-    # `simplify_graph` is our key; `do_constant_folding` is the reference's
-    # deployment.yaml spelling for the same step (BN folding IS constant
-    # folding). CLI flag wins.
+    # `simplify_graph` is our opt-in key (see configs/deployment.yaml).
+    # The reference's `do_constant_folding` is deliberately NOT mapped to
+    # it: that flag is a torch.onnx serialization detail that defaults to
+    # true, and honoring it would force the fastpath graph (which raises
+    # for non-unet_light/non-BN configs) on every reference config.
     use_opt = bool(args.optimize or opt_cfg.get("simplify_graph", False))
     if use_opt and use_int8:
-        logger.warning("--optimize is not combinable with int8 — exporting int8 only")
-        use_opt = False
+        # Explicit CLI flags beat config keys; two explicit flags conflict.
+        if args.optimize and args.int8:
+            raise SystemExit("--optimize and --int8 are not combinable")
+        if args.optimize:
+            logger.warning("--optimize overrides the config's "
+                           "use_int8_quantization — exporting the "
+                           "optimized graph without int8")
+            use_int8 = False
+        else:  # --int8 explicit, or both from config: int8 wins
+            logger.warning("int8 export takes precedence — skipping graph "
+                           "optimization (not combinable)")
+            use_opt = False
     path = export_stablehlo(
         model, variables, output,
         input_shape=input_shape,
