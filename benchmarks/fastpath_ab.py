@@ -15,16 +15,17 @@ onnxslim-optimized artifact against the raw export the same way
 (compare_models in /root/reference/src/deployment/optimize_model.py).
 
 Last measured (v5e, 2026-08): full-path ms/iter
-    b=1   fast_mm  1.71 (contiguous-slice QKV; 2.42 before)  fast_ct 4.07
-          regular  3.07
+    b=1   fast_mm  1.46 (contiguous-slice QKV; 2.42 before)  fast_ct 4.07
+          regular  1.80  (200-iter loops; see DESIGN.md measurement note)
     b=8   fast_mm  7.65   fast_ct  8.76   regular  7.51
     b=32  fast_mm 33.8    fast_ct 31.5    regular 32.1
-    b=128 fast_mm 101.2   hybrid 58.2     regular 61.8
-Decoder-only b=128: matmul+d2s 69.0, conv_transpose 30.6 (regular 34).
-Encoder-only b=128: flax 30.5 < fused-QKV split 32.2 < fused contiguous
-slices 34.7 < fused 5-D-reshape slices 37.9; fp32 softmax beats bf16
-(37.4 vs 40.9); conv vs matmul patchify is a wash. Hence the hybrid
-(flax encoder + folded-BN conv_transpose decoder) for large batch.
+    b=128 fast_mm 101.7   fast_ct 63.5   hybrid 58.9   regular 62.2
+Decoder-only b=128: matmul+d2s 69.1, conv_transpose 30.9 (regular 34).
+Encoder-only b=128 (this tool, --parts): flax 30.1; fused_contig 34.6
+(fp32 softmax) / 32.3 (bf16); fused_reshape 37.9 / 41.3; split 32.1 /
+29.8. The softmax-dtype effect flips with the slicing mode; split+bf16
+is a wash with flax, so the hybrid keeps the (parity-tested) flax
+encoder + folded-BN conv_transpose decoder for large batch.
 
 Run:  python benchmarks/fastpath_ab.py [--batches 1,8,32] [--parts]
 """
@@ -33,7 +34,11 @@ from __future__ import annotations
 
 import argparse
 import functools
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def _timeit(fn, *args, n=40, warmup=3):
