@@ -16,6 +16,8 @@ layout-agnostic since all reductions are over the full image.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -105,8 +107,11 @@ def calculate_mae(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32)))
 
 
-@jax.jit
-def batch_metric_sums(pred: jnp.ndarray, target: jnp.ndarray) -> dict:
+@functools.partial(jax.jit, static_argnames=("data_range",))
+def batch_metric_sums(
+    pred: jnp.ndarray, target: jnp.ndarray,
+    data_range: float = DEFAULT_DATA_RANGE,
+) -> dict:
     """One fused kernel: per-sample PSNR/SSIM/SAM/RMSE summed over the batch.
 
     Returns {'psnr','ssim','sam','rmse','count'} as fp32 scalars — the
@@ -115,8 +120,8 @@ def batch_metric_sums(pred: jnp.ndarray, target: jnp.ndarray) -> dict:
     (metrics.py:247-256), not metrics of pooled statistics.
     """
     return {
-        "psnr": jnp.sum(psnr_per_sample(pred, target)),
-        "ssim": jnp.sum(ssim_per_sample(pred, target)),
+        "psnr": jnp.sum(psnr_per_sample(pred, target, data_range)),
+        "ssim": jnp.sum(ssim_per_sample(pred, target, data_range)),
         "sam": jnp.sum(sam_per_sample(pred, target)),
         "rmse": jnp.sum(rmse_per_sample(pred, target)),
         "count": jnp.asarray(pred.shape[0], dtype=jnp.float32),
@@ -138,7 +143,7 @@ class MetricsTracker:
         self._sums = None
 
     def update(self, pred: jnp.ndarray, target: jnp.ndarray) -> None:
-        sums = batch_metric_sums(pred, target)
+        sums = batch_metric_sums(pred, target, self.data_range)
         if self._sums is None:
             self._sums = sums
         else:

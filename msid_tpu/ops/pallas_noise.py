@@ -89,20 +89,27 @@ def _noise_kernel(seed_ref, x_ref, out_ref, *, cfg: NoiseConfig, channels: int):
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wc), 2)
     chan = (lane % channels).astype(jnp.float32)
 
-    dead_u = _uniform((1, 1, wc))
-    # One Bernoulli per *band*: all lanes of a band must share the draw.
-    # Take the draw at lane index c for band c (a gatherless broadcast —
-    # C is small and static, so this unrolls into C selects).
-    band_u = jnp.zeros((1, 1, wc), jnp.float32)
-    for c in range(channels):
-        # Extract lane c's draw as a scalar via a masked reduction
-        # (dynamic_slice on kernel values is not lowerable in Mosaic).
-        u_c = jnp.sum(jnp.where(lane == c, dead_u, 0.0))
-        band_u = jnp.where(chan == float(c), u_c, band_u)
-    alive = (band_u >= cfg.dead_band_prob).astype(jnp.float32)
+    # cfg is static: skip the per-sample draws entirely for disabled
+    # components (each branch is resolved at trace time; the enabled-path
+    # draw ORDER is unchanged so enabled configs keep their streams).
+    alive = None
+    if cfg.dead_band_prob > 0:
+        dead_u = _uniform((1, 1, wc))
+        # One Bernoulli per *band*: all lanes of a band must share the
+        # draw. Take the draw at lane index c for band c (a gatherless
+        # broadcast — C is small and static, so this unrolls into C
+        # selects).
+        band_u = jnp.zeros((1, 1, wc), jnp.float32)
+        for c in range(channels):
+            # Extract lane c's draw as a scalar via a masked reduction
+            # (dynamic_slice on kernel values is not lowerable in Mosaic).
+            u_c = jnp.sum(jnp.where(lane == c, dead_u, 0.0))
+            band_u = jnp.where(chan == float(c), u_c, band_u)
+        alive = (band_u >= cfg.dead_band_prob).astype(jnp.float32)
 
-    stripes = _normal((1, 1, wc)) * cfg.stripe_sigma
-    stripe_gate = (_uniform((1, 1, 1)) < cfg.stripe_prob).astype(jnp.float32)
+    if cfg.enable_striping and cfg.stripe_prob > 0:
+        stripes = _normal((1, 1, wc)) * cfg.stripe_sigma
+        stripe_gate = (_uniform((1, 1, 1)) < cfg.stripe_prob).astype(jnp.float32)
 
     # --- per-element draws: reseed by (seed, b, h_blk) so different row
     # blocks get independent noise (odd stream, see above).
@@ -122,7 +129,9 @@ def _noise_kernel(seed_ref, x_ref, out_ref, *, cfg: NoiseConfig, channels: int):
     g2 = cfg.gaussian_sigma**2
     t2 = cfg.thermal_scale**2
     if g2 > 0 or t2 > 0:
-        weight = 1.0 + chan / float(channels - 1)
+        # guard C=1: the jnp path's linspace(1, 2, 1) == [1.0], and
+        # chan/0 here would be NaN
+        weight = 1.0 + chan / float(max(channels - 1, 1))
         var = t2 * weight * weight
         if cfg.dead_band_prob > 0:
             var = var + g2 * alive  # dead channels lose the pre-mask gaussian

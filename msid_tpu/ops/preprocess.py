@@ -25,11 +25,16 @@ def normalize_raw(x: jnp.ndarray) -> jnp.ndarray:
     """Heuristic range scaling matching reference dataset.py:160-166.
 
     Raw Sentinel-2 DN (max > 10) → /10000; 8-bit (max > 1.5) → /255;
-    already-[0,1] data passes through. The branch is data-dependent but
-    resolves to a `jnp.where` over precomputed scales — no host sync.
+    already-[0,1] data passes through. The reference applies the heuristic
+    per sample (it normalizes in __getitem__) — so the max is per-sample
+    here too; a batch-global max would pick one scale for a mixed-scale
+    batch and collapse the already-normalized samples. The branch is
+    data-dependent but resolves to a `jnp.where` over precomputed
+    scales — no host sync.
     """
     x = x.astype(jnp.float32)
-    m = jnp.max(x)
+    axes = tuple(range(1, x.ndim))  # per-sample over H, W, C
+    m = jnp.max(x, axis=axes, keepdims=True)
     scale = jnp.where(m > 10.0, 1.0 / 10000.0, jnp.where(m > 1.5, 1.0 / 255.0, 1.0))
     return x * scale
 

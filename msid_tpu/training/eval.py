@@ -19,6 +19,32 @@ from msid_tpu.training.train_state import make_eval_step
 logger = logging.getLogger(__name__)
 
 
+def run_eval_loop(eval_step, variables, loader, base_key, place=jnp.asarray) -> dict:
+    """Accumulate eval-step metric sums over a loader with deterministic
+    per-batch corruption keys; ONE host sync total (shared by
+    Trainer.validate and evaluate_model — keep a single copy).
+
+    The batch index is folded in as ``jnp.uint32``: a Python-int operand
+    would bake a constant into the eager fold_in and trigger a fresh
+    ~1-6 s remote compile per batch on relayed TPU transports.
+    """
+    sums = None
+    for i, batch in enumerate(loader):
+        key = jax.random.fold_in(base_key, jnp.uint32(i))
+        s = eval_step(variables, place(batch), key)
+        sums = s if sums is None else jax.tree_util.tree_map(jnp.add, sums, s)
+    if sums is None:
+        return {"loss": 0.0, "psnr": 0.0, "ssim": 0.0, "sam": 0.0, "rmse": 0.0,
+                "num_samples": 0}
+    host = jax.device_get(sums)
+    count = max(float(host["count"]), 1.0)
+    results = {
+        k: float(host[k]) / count for k in ("loss", "psnr", "ssim", "sam", "rmse")
+    }
+    results["num_samples"] = int(count)
+    return results
+
+
 def evaluate_model(
     model,
     variables: dict,
@@ -36,24 +62,9 @@ def evaluate_model(
         noise_cfg or NoiseConfig(),
         image_size=image_size or model.image_size,
     )
-    sums = None
-    base = jax.random.PRNGKey(eval_seed)
-    for i, batch in enumerate(loader):
-        key = jax.random.fold_in(base, i)
-        s = eval_step(variables, jnp.asarray(batch), key)
-        sums = s if sums is None else jax.tree_util.tree_map(jnp.add, sums, s)
-    if sums is None:
-        return {"loss": 0.0, "psnr": 0.0, "ssim": 0.0, "sam": 0.0, "rmse": 0.0}
-    host = jax.device_get(sums)
-    count = max(float(host["count"]), 1.0)
-    results = {
-        "loss": float(host["loss"]) / count,
-        "psnr": float(host["psnr"]) / count,
-        "ssim": float(host["ssim"]) / count,
-        "sam": float(host["sam"]) / count,
-        "rmse": float(host["rmse"]) / count,
-        "num_samples": int(count),
-    }
+    results = run_eval_loop(
+        eval_step, variables, loader, jax.random.PRNGKey(eval_seed)
+    )
     if verbose:
         logger.info("=" * 50)
         logger.info("Evaluation results (%d samples):", results["num_samples"])

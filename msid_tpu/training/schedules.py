@@ -47,11 +47,16 @@ def cosine_warm_restarts(
         if m == 1.0:
             frac = jnp.mod(t, t0) / t0
         else:
-            # cycle n starts at t0*(m^n - 1)/(m - 1) and lasts t0*m^n
-            n = jnp.floor(jnp.log(t / t0 * (m - 1.0) + 1.0) / math.log(m))
+            # cycle n starts at t0*(m^n - 1)/(m - 1) and lasts t0*m^n.
+            # The epsilon absorbs fp32 log/div rounding at exact restart
+            # steps, where floor could land one cycle low and emit
+            # frac=1.0 (lr=eta_min) instead of the restart peak.
+            n = jnp.floor(
+                jnp.log(t / t0 * (m - 1.0) + 1.0) / math.log(m) + 1e-5
+            )
             start = t0 * (jnp.power(m, n) - 1.0) / (m - 1.0)
             length = t0 * jnp.power(m, n)
-            frac = (t - start) / length
+            frac = jnp.clip((t - start) / length, 0.0, 1.0)
         return eta_min + span * 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
 
     return schedule

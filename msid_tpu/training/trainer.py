@@ -227,24 +227,14 @@ class Trainer:
 
     def validate(self, loader) -> Dict[str, float]:
         """Deterministically-corrupted validation; one host sync total."""
-        sums = None
-        variables = self.state.variables
-        eval_base = jax.random.PRNGKey(self.eval_seed)
-        for i, batch in enumerate(loader):
-            key = jax.random.fold_in(eval_base, jnp.uint32(i))
-            s = self.eval_step(variables, self._place_batch(batch), key)
-            sums = s if sums is None else jax.tree_util.tree_map(jnp.add, sums, s)
-        if sums is None:
-            return {"loss": 0.0, "psnr": 0.0, "ssim": 0.0, "sam": 0.0, "rmse": 0.0}
-        host = jax.device_get(sums)
-        count = max(float(host["count"]), 1.0)
-        return {
-            "loss": float(host["loss"]) / count,
-            "psnr": float(host["psnr"]) / count,
-            "ssim": float(host["ssim"]) / count,
-            "sam": float(host["sam"]) / count,
-            "rmse": float(host["rmse"]) / count,
-        }
+        from msid_tpu.training.eval import run_eval_loop
+
+        results = run_eval_loop(
+            self.eval_step, self.state.variables, loader,
+            jax.random.PRNGKey(self.eval_seed), place=self._place_batch,
+        )
+        results.pop("num_samples", None)
+        return results
 
     # ---------------- fit ----------------
 

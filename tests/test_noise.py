@@ -111,6 +111,12 @@ def test_normalize_raw_heuristics():
     assert float(normalize_raw(eight_bit_ish).max()) == pytest.approx(5 / 255)
     unit = jnp.full((1, 4, 4, 13), 0.5)
     assert float(normalize_raw(unit).max()) == pytest.approx(0.5)
+    # the heuristic is per SAMPLE (reference normalizes in __getitem__):
+    # a mixed-scale batch must not share one scale
+    mixed = jnp.concatenate([raw, unit], axis=0)
+    out = normalize_raw(mixed)
+    assert float(out[0].max()) == pytest.approx(0.5)   # DN tile /10000
+    assert float(out[1].max()) == pytest.approx(0.5)   # unit tile untouched
 
 
 def test_model_range_roundtrip():
