@@ -81,26 +81,49 @@ class BatchLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # Bounded put that gives up when the consumer is gone — a
+            # plain q.put would block forever if the iterator is
+            # abandoned mid-epoch (e.g. `next(iter(loader))`), pinning
+            # the thread and its staged batches for the process lifetime.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for b in range(n_batches):
-                    q.put(
-                        self._make_batch(
-                            indices[b * self.batch_size : (b + 1) * self.batch_size]
-                        )
+                    batch = self._make_batch(
+                        indices[b * self.batch_size : (b + 1) * self.batch_size]
                     )
+                    if not _put(batch):
+                        return
+            except BaseException as e:  # surfaced to the consumer, not dropped
+                _put((sentinel, e))
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, tuple) and len(item) == 2 and item[0] is sentinel:
+                    # A silently-truncated epoch would skew training/eval;
+                    # re-raise the worker's error in the consumer instead.
+                    raise item[1]
+                yield item
+            t.join()
+        finally:
+            stop.set()
 
 
 def get_dataloaders(config: dict):
@@ -119,8 +142,14 @@ def get_dataloaders(config: dict):
     train_loader = BatchLoader(
         train_ds, batch_size=micro * accum, shuffle=True, drop_last=True, seed=seed
     )
+    # Validation keeps EVERY sample (reference dataloader.py:68-74 uses no
+    # drop_last): the trailing partial batch costs one extra eval-step
+    # compile for its shape, while dropping it would silently exclude up
+    # to batch-1 samples — and yield ZERO val batches (all-zero metrics,
+    # broken best-checkpoint ranking) when the val split is smaller than
+    # a batch.
     val_loader = BatchLoader(
-        val_ds, batch_size=micro * accum, shuffle=False, drop_last=True,
+        val_ds, batch_size=micro * accum, shuffle=False, drop_last=False,
         seed=seed,
     )
     return train_loader, val_loader
@@ -134,4 +163,7 @@ def get_test_dataloader(config: dict, batch_size: Optional[int] = None):
     cfg["data"] = dict(config.get("data", {}), train_split=1.0)
     ds = build_dataset(cfg, "train")
     bs = batch_size or int(config.get("training", {}).get("micro_batch_size", 8))
-    return BatchLoader(ds, batch_size=bs, shuffle=False, drop_last=False, pad_last=True)
+    # No pad_last: padding repeats a tile the eval loop would count,
+    # biasing test metrics toward it. The trailing partial batch costs one
+    # extra compile for its shape instead.
+    return BatchLoader(ds, batch_size=bs, shuffle=False, drop_last=False)

@@ -164,6 +164,8 @@ def read_tiff(path: str | Path) -> np.ndarray:
                 rows.append(np.frombuffer(raw, dtype=dtype))
                 idx += 1
             plane = np.concatenate(rows)[: height * width].reshape(height, width)
+            if predictor == 2:  # horizontal differencing, per row per band
+                plane = np.cumsum(plane.astype(np.int64), axis=1).astype(dtype)
             planes.append(plane)
         img = np.stack(planes, axis=-1)
     else:

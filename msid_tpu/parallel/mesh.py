@@ -44,6 +44,11 @@ def make_mesh(
         devs = devs[:num_devices]
     n = len(devs)
     if model_parallel <= 1:
+        if data_parallel is not None:  # honor an explicit DP degree
+            assert 0 < data_parallel <= n, (
+                f"data_parallel={data_parallel} exceeds {n} devices"
+            )
+            devs = devs[:data_parallel]
         return Mesh(np.array(devs), (DATA_AXIS,))
     dp = data_parallel or n // model_parallel
     assert dp * model_parallel == n, (

@@ -226,11 +226,38 @@ class Trainer:
         }
 
     def validate(self, loader) -> Dict[str, float]:
-        """Deterministically-corrupted validation; one host sync total."""
+        """Deterministically-corrupted validation; one host sync total.
+
+        The val loader keeps every sample (no drop_last); on a mesh the
+        trailing partial batch is trimmed to the device-count multiple
+        (losing at most mesh_size-1 samples, with a warning) because the
+        sharded eval step cannot split an indivisible batch.
+        """
         from msid_tpu.training.eval import run_eval_loop
 
+        batches = loader
+        if self.mesh is not None:
+            n = self.mesh.devices.size
+
+            def mesh_sized(src=loader, n=n):
+                for b in src:
+                    rem = b.shape[0] % n
+                    if rem:
+                        if b.shape[0] < n:
+                            logger.warning(
+                                "val batch of %d smaller than the %d-device "
+                                "mesh — skipped", b.shape[0], n)
+                            continue
+                        logger.warning(
+                            "trimming val batch %d -> %d for the %d-device "
+                            "mesh", b.shape[0], b.shape[0] - rem, n)
+                        b = b[: b.shape[0] - rem]
+                    yield b
+
+            batches = mesh_sized()
+
         results = run_eval_loop(
-            self.eval_step, self.state.variables, loader,
+            self.eval_step, self.state.variables, batches,
             jax.random.PRNGKey(self.eval_seed), place=self._place_batch,
         )
         results.pop("num_samples", None)

@@ -27,23 +27,34 @@ logger = logging.getLogger(__name__)
 _INHERIT_KEY = "inherits"
 
 
-def load_config(config_path: str | Path) -> Dict[str, Any]:
+def load_config(
+    config_path: str | Path, _seen: Optional[frozenset] = None
+) -> Dict[str, Any]:
     """Load a YAML config, resolving inheritance recursively.
 
     Override values take precedence over inherited base values
-    (deep merge, dict-by-dict).
+    (deep merge, dict-by-dict). A missing base raises (a warn-and-continue
+    would train with silently-wrong defaults and round-trip a stale
+    ``inherits`` key); an inheritance cycle raises a clear error instead
+    of RecursionError.
     """
     config_path = Path(config_path)
     if not config_path.exists():
         raise FileNotFoundError(f"Config file not found: {config_path}")
 
+    resolved = config_path.resolve()
+    seen = _seen or frozenset()
+    if resolved in seen:
+        chain = " -> ".join(str(p) for p in seen)
+        raise ValueError(f"Config inheritance cycle: {chain} -> {resolved}")
+
     with open(config_path, "r") as f:
         config = yaml.safe_load(f) or {}
 
     base_path = _find_base_config(config_path, config)
+    config.pop(_INHERIT_KEY, None)
     if base_path is not None:
-        base_config = load_config(base_path)
-        config.pop(_INHERIT_KEY, None)
+        base_config = load_config(base_path, _seen=seen | {resolved})
         config = merge_configs(base_config, config)
 
     return config
@@ -59,8 +70,11 @@ def _find_base_config(config_path: Path, config: Dict[str, Any]) -> Optional[Pat
         base = config_path.parent / str(config[_INHERIT_KEY])
         if base.exists():
             return base
-        logger.warning("Base config not found: %s", base)
-        return None
+        # An explicit inherits: pointing nowhere is a config error, not a
+        # degradation — continuing would drop every inherited default.
+        raise FileNotFoundError(
+            f"{config_path}: inherited base config not found: {base}"
+        )
 
     with open(config_path, "r") as f:
         for line in f:

@@ -22,8 +22,12 @@ import numpy as np
 
 
 @contextlib.contextmanager
-def trace(logdir: str = "/tmp/jax_trace", host_tracer_level: int = 2):
-    """Capture a device+host profiler trace viewable in TensorBoard/XProf."""
+def trace(logdir: str = "/tmp/jax_trace"):
+    """Capture a device+host profiler trace viewable in TensorBoard/XProf.
+
+    (jax.profiler.start_trace exposes no tracer-level knob — accepting one
+    here and silently ignoring it would misrepresent the captured trace.)
+    """
     import jax
 
     jax.profiler.start_trace(logdir, create_perfetto_link=False)

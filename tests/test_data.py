@@ -129,3 +129,50 @@ def test_odd_sized_tile_normalized(tmp_path):
     ds = EuroSATMultiSpectral(tmp_path, split="train", train_split=1.0)
     for i in range(len(ds)):
         assert ds[i].shape == (64, 64, 13)
+
+
+def test_batch_loader_propagates_worker_errors():
+    """A failing dataset item must raise in the consumer, not silently end
+    the epoch early (a truncated epoch skews training/eval)."""
+
+    class Broken:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            if i >= 8:
+                raise RuntimeError("bad tile")
+            return np.zeros((64, 64, 13), np.float32)
+
+    loader = BatchLoader(Broken(), batch_size=8, shuffle=False, drop_last=True)
+    with pytest.raises(RuntimeError, match="bad tile"):
+        list(loader)
+
+
+def test_batch_loader_partial_last_batch():
+    ds = SyntheticEuroSAT(num_samples=12, split="train", train_split=1.0)
+    loader = BatchLoader(ds, batch_size=8, shuffle=False, drop_last=False)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0].shape == (8, 64, 64, 13)
+    assert batches[1].shape == (4, 64, 64, 13)  # true remainder, no padding
+
+
+def test_batch_loader_survives_abandoned_iterator():
+    """Abandoning the iterator (e.g. next(iter(loader))) must not leave the
+    prefetch worker blocked forever on a full queue."""
+    import threading
+
+    ds = SyntheticEuroSAT(num_samples=64, split="train", train_split=1.0)
+    loader = BatchLoader(ds, batch_size=8, shuffle=False, drop_last=True)
+    before = threading.active_count()
+    for _ in range(5):
+        it = iter(loader)
+        next(it)
+        it.close()  # triggers GeneratorExit at the yield
+    import time as _time
+
+    deadline = _time.time() + 5.0
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before + 1  # workers drained
