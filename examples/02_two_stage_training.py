@@ -43,10 +43,16 @@ def run_stage(config_path, output_dir, synthetic, epochs=None, resume_from=None)
         start = trainer.load_checkpoint(CheckpointManager(resume_from), best=True)
         print(f"resumed from {resume_from} (epoch {start})")
 
+    # load_checkpoint restores the PREVIOUS stage's history into the
+    # trainer, and fit() appends to it — snapshot the restored length so
+    # this stage's return contains only its own epochs (otherwise the
+    # cross-stage merge below double-counts stage A).
+    restored = {k: len(v) for k, v in trainer.history.items()}
     history = trainer.fit(
         session["train_loader"], session["val_loader"],
         int(session["config"]["training"]["epochs"]),
     )
+    history = {k: v[restored.get(k, 0):] for k, v in history.items()}
     return history, session
 
 

@@ -151,7 +151,9 @@ def export_stablehlo(
         # Serialize fp32 weights (npz can't hold bfloat16 without pickling)
         # and record the compute dtype in meta.json; the module's avals are
         # the compute dtype, load_exported casts the payload to match.
-        host_fp32 = optimize_for_inference(model, variables, as_numpy=True)
+        host_fp32 = optimize_for_inference(
+            model, variables, as_numpy=True, upsample="matmul"
+        )
         variables = jax.tree_util.tree_map(
             lambda a: a.astype(compute_dtype)
             if np.issubdtype(np.asarray(a).dtype, np.floating) else np.asarray(a),

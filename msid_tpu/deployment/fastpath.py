@@ -61,7 +61,8 @@ def _fold_bn(kernel, bias, bn_params, bn_stats, eps: float = 1e-5):
 
 
 def optimize_for_inference(
-    model, variables, dtype: Dtype = jnp.bfloat16, as_numpy: bool = False
+    model, variables, dtype: Dtype = jnp.bfloat16, as_numpy: bool = False,
+    upsample: str = "both",
 ) -> dict:
     """Rewrite trained variables into the fastpath form (host-side, numpy).
 
@@ -74,7 +75,14 @@ def optimize_for_inference(
     ``as_numpy=True`` skips the device placement/dtype cast and returns
     the raw fp32 host tree (used by the exporter, which serializes fp32
     and casts at load).
+
+    ``upsample`` selects which upsample weight form(s) the tree carries:
+    "matmul" (up_w/up_b), "ct" (up_ct/up_ct_b), or "both". A graph only
+    reads one form — shipping the other doubles the upsample-weight
+    footprint on device and in serialized artifacts for dead data.
     """
+    if upsample not in ("matmul", "ct", "both"):
+        raise ValueError(f"upsample must be matmul|ct|both, got {upsample!r}")
     if model.decoder_arch != "unet_light":
         raise ValueError(f"fastpath supports unet_light, got {model.decoder_arch}")
     if model.norm != "batch":
@@ -147,16 +155,16 @@ def optimize_for_inference(
         up_w = wk[::-1, ::-1].transpose(2, 0, 1, 3).reshape(cin, kh * kw * cout)
         # bias per Cout, tiled across the 2x2 block positions of the
         # flattened (di, dj, co) output layout
-        stage = {
-            "up_w": up_w,
-            "up_b": np.tile(wb, kh * kw),
+        stage = {"res": []}
+        if upsample in ("matmul", "both"):
+            stage["up_w"] = up_w
+            stage["up_b"] = np.tile(wb, kh * kw)
+        if upsample in ("ct", "both"):
             # Same folded weights in conv_transpose form: wins at large
             # batch where the depth-to-space transpose is HBM-bound
             # (measured b=128 decoder: 30.6 ms ct vs 69 ms matmul+d2s).
-            "up_ct": wk,
-            "up_ct_b": wb,
-            "res": [],
-        }
+            stage["up_ct"] = wk
+            stage["up_ct_b"] = wb
         r = 0
         while f"res_{s}_{r}" in dec:
             res = dec[f"res_{s}_{r}"]
@@ -272,9 +280,9 @@ def _fast_decode(fast_params: dict, y: jnp.ndarray, *, matmul_upsample: bool):
     """Folded-BN decoder on an NHWC token grid (shared by fast_forward and
     the hybrid path)."""
     for stage in fast_params["stages"]:
-        cout = stage["up_w"].shape[1] // 4
         bb, hh, ww, _ = y.shape
         if matmul_upsample:
+            cout = stage["up_w"].shape[1] // 4
             # upsample: matmul + depth-to-space (2x2 blocks)
             up = y.reshape(bb * hh * ww, -1) @ stage["up_w"] + stage["up_b"]
             up = up.reshape(bb, hh, ww, 2, 2, cout)
@@ -326,8 +334,22 @@ def optimize_for_hybrid(model, variables, dtype: Dtype = jnp.bfloat16) -> dict:
     """Weights for :func:`make_hybrid_inference_fn`: the flax encoder
     variables as-is (fp32 params, compute dtype applied by the module) and
     the folded fastpath tree for the decoder."""
-    fp = optimize_for_inference(model, variables, dtype=dtype)
+    # Build host-side and keep only the decoder subtree BEFORE any device
+    # placement: optimize_for_inference would otherwise upload the ~85 MB
+    # fused-QKV encoder tree just to discard it (multi-second on relayed
+    # transports). The hybrid decoder only runs the conv_transpose form.
+    fp = optimize_for_inference(
+        model, variables, as_numpy=True, upsample="ct"
+    )
     dec = {k: fp[k] for k in ("stages", "head_k", "head_b", "out_k", "out_b")}
+
+    def _cast(x):
+        x = np.asarray(x)
+        if np.issubdtype(x.dtype, np.floating):
+            return jnp.asarray(x.astype(np.float32), dtype)
+        return jnp.asarray(x)
+
+    dec = jax.tree_util.tree_map(_cast, dec)
     enc = {"params": {"encoder": variables["params"]["encoder"]}}
     return {"enc": enc, "dec": dec}
 

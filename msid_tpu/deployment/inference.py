@@ -77,6 +77,7 @@ class InferenceSession:
         self.image_size = image_size
         self.num_bands = num_bands
         self.optimized = False
+        self.donate_input = bool(donate_input)
         self.input_shape = (batch_size, image_size, image_size, num_bands)
 
         self._input_sharding = None
@@ -102,7 +103,8 @@ class InferenceSession:
                 try:
                     if optimize is True or small:
                         variables = optimize_for_inference(
-                            model, variables, dtype=model.dtype
+                            model, variables, dtype=model.dtype,
+                            upsample="matmul",
                         )
                         infer = make_fast_inference_fn(model)
                         self.optimized = "fastpath"
@@ -190,15 +192,28 @@ class InferenceSession:
         instead of syncing per iteration — the steady-state throughput
         number, free of host↔device round-trip latency (which on relayed
         transports adds ~tens of ms per sync and otherwise dominates)."""
-        x = jax.device_put(
-            np.asarray(
-                jax.random.uniform(
-                    jax.random.PRNGKey(seed), self.input_shape, jnp.float32,
-                    minval=-2.0, maxval=2.0,
-                )
-            ),
-            self._input_sharding,
+        x_host = np.asarray(
+            jax.random.uniform(
+                jax.random.PRNGKey(seed), self.input_shape, jnp.float32,
+                minval=-2.0, maxval=2.0,
+            )
         )
+
+        def place():
+            return jax.device_put(x_host, self._input_sharding)
+
+        # With input donation each call invalidates its input buffer, so a
+        # single device-resident x cannot be reused — re-place per call
+        # (the H2D is then part of the measured loop, as it is in real
+        # donated serving).
+        x = place()
+
+        def next_x():
+            nonlocal x
+            if self.donate_input:
+                x = place()
+            return x
+
         def run_and_wait(x):
             # Materialize a scalar instead of block_until_ready: on relayed
             # device transports block_until_ready can return before the
@@ -209,13 +224,13 @@ class InferenceSession:
             return y
 
         for _ in range(warmup_runs):
-            run_and_wait(x)
+            run_and_wait(next_x())
 
         if pipelined:
             t0 = time.perf_counter()
             y = None
             for _ in range(benchmark_iterations):
-                y = self._fn(x)
+                y = self._fn(next_x())
             float(jnp.sum(y))
             per_iter = (time.perf_counter() - t0) * 1e3 / benchmark_iterations
             times_ms = np.asarray([per_iter])
@@ -223,7 +238,7 @@ class InferenceSession:
             times_ms = []
             for _ in range(benchmark_iterations):
                 t0 = time.perf_counter()
-                run_and_wait(x)
+                run_and_wait(next_x())
                 times_ms.append((time.perf_counter() - t0) * 1e3)
             times_ms = np.asarray(times_ms)
         mean_ms = float(times_ms.mean())

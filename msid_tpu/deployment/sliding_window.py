@@ -197,6 +197,19 @@ def restore_scene(
             traffic (the bottleneck on relayed transports) at the cost of
             scene + two accumulators in HBM (fp32: ~3x the scene size).
     """
+    if not 0 <= overlap < window:
+        raise ValueError(f"overlap ({overlap}) must be in [0, window={window})")
+    scene = np.asarray(scene)
+    h0, w0 = scene.shape[:2]
+    if h0 < window or w0 < window:
+        # Edge-pad undersized scenes up to one window (processing the
+        # padded scene, cropping after): every window-sized device shape
+        # stays static, and the blend weights stay valid.
+        scene = np.pad(
+            scene,
+            ((0, max(0, window - h0)), (0, max(0, window - w0)), (0, 0)),
+            mode="edge",
+        )
     h, w, c = scene.shape
     stride = window - overlap
     ys = _window_origins(h, window, stride)
@@ -226,7 +239,7 @@ def restore_scene(
             )
             if progress:
                 progress(i, len(origins))
-        return np.asarray(out_sum_d / w_sum_d)
+        return np.asarray(out_sum_d / w_sum_d)[:h0, :w0]
 
     if step is None:
         step = make_scene_step(model, variables, window, model_size)
@@ -254,7 +267,7 @@ def restore_scene(
     while pending:
         _drain(pending.pop(0), out_sum, w_sum, weights, window)
 
-    return out_sum / w_sum
+    return (out_sum / w_sum)[:h0, :w0]
 
 
 def _drain(entry, out_sum, w_sum, weights, window):

@@ -63,7 +63,16 @@ def main():
     config = coerce_scheduler_params(load_config(args.model_config))
     config["model"]["encoder"]["pretrained_path"] = None
 
-    model = SatMAERestoration.from_config(config, dtype=jnp.bfloat16)
+    # Compute dtype: deployment.yaml's bf16_inference wins (default true);
+    # when disabled, follow the training precision so an fp32-trained
+    # model is not silently exported as a bf16 artifact.
+    opt_cfg_early = deploy_cfg.get("export", {}).get("optimization", {})
+    if bool(opt_cfg_early.get("bf16_inference", True)):
+        export_dtype = jnp.bfloat16
+    else:
+        mixed = bool(config.get("training", {}).get("mixed_precision", True))
+        export_dtype = jnp.bfloat16 if mixed else jnp.float32
+    model = SatMAERestoration.from_config(config, dtype=export_dtype)
     variables = init_model(model, jax.random.PRNGKey(int(config.get("seed", 42))))
 
     if args.checkpoint:
@@ -134,7 +143,12 @@ def main():
                     report["compression"])
 
     if args.verify:
-        ok = verify_exported_model(path, input_shape=input_shape)
+        dyn = bool(export_cfg.get("dynamic_batch", True))
+        # A static-batch module only accepts its compiled batch size —
+        # probing batch 2 would fail verification for a good artifact.
+        sizes = (1, 2) if dyn else (int(input_shape[0]),)
+        ok = verify_exported_model(path, input_shape=input_shape,
+                                   batch_sizes=sizes)
         # int8 weight rounding is deliberate loss — gate on cosine
         # similarity instead of elementwise allclose (reference quantized
         # models were likewise verified only for runnability). The
@@ -166,6 +180,7 @@ def main():
             model=model, variables=variables,
             batch_size=int(inf_cfg.get("batch_size", 1)),
             image_size=input_shape[1], num_bands=input_shape[3],
+            donate_input=bool(opt_cfg_early.get("donate_input", False)),
         )
         stats = session.benchmark(
             warmup_runs=int(inf_cfg.get("warmup_runs", 10)),
