@@ -102,7 +102,7 @@ def main():
     key = jax.random.PRNGKey(0)
 
     def eval_call(v, b, k):
-        return eval_step(v, b, k)
+        return eval_step(v, b, k, jnp.int32(b.shape[0]))
 
     ms = timeit(eval_call, variables, raw, key, iters=iters)
     results["2_eval_ms_per_batch64"] = round(ms, 2)

@@ -60,13 +60,18 @@ class BatchLoader:
             return rng.permutation(n)
         return np.arange(n)
 
-    def _make_batch(self, idxs: np.ndarray) -> np.ndarray:
+    def _make_batch(self, idxs: np.ndarray):
         tiles = [self.dataset[int(i)] for i in idxs]
         batch = np.stack(tiles, axis=0)
-        if self.pad_last and batch.shape[0] < self.batch_size:
-            # pad by repeating the first tile; caller masks via true count
-            pad = np.repeat(batch[:1], self.batch_size - batch.shape[0], axis=0)
-            batch = np.concatenate([batch, pad], axis=0)
+        if self.pad_last:
+            # Pad to the static batch shape (repeating the first tile) and
+            # yield (batch, true_count): the eval step masks the padding,
+            # so the trailing batch reuses the one compiled executable.
+            count = batch.shape[0]
+            if count < self.batch_size:
+                pad = np.repeat(batch[:1], self.batch_size - count, axis=0)
+                batch = np.concatenate([batch, pad], axis=0)
+            return batch, count
         return batch
 
     def __iter__(self) -> Iterator[np.ndarray]:
@@ -143,14 +148,15 @@ def get_dataloaders(config: dict):
         train_ds, batch_size=micro * accum, shuffle=True, drop_last=True, seed=seed
     )
     # Validation keeps EVERY sample (reference dataloader.py:68-74 uses no
-    # drop_last): the trailing partial batch costs one extra eval-step
-    # compile for its shape, while dropping it would silently exclude up
-    # to batch-1 samples — and yield ZERO val batches (all-zero metrics,
-    # broken best-checkpoint ranking) when the val split is smaller than
-    # a batch.
+    # drop_last): dropping the trailing partial batch would silently
+    # exclude up to batch-1 samples — and yield ZERO val batches (all-zero
+    # metrics, broken best-checkpoint ranking) when the val split is
+    # smaller than a batch. pad_last pads it to the static batch shape
+    # with a (batch, true_count) tuple; the eval step masks the padding,
+    # so every val-set size costs exactly one eval-step compile.
     val_loader = BatchLoader(
         val_ds, batch_size=micro * accum, shuffle=False, drop_last=False,
-        seed=seed,
+        seed=seed, pad_last=True,
     )
     return train_loader, val_loader
 
@@ -163,7 +169,7 @@ def get_test_dataloader(config: dict, batch_size: Optional[int] = None):
     cfg["data"] = dict(config.get("data", {}), train_split=1.0)
     ds = build_dataset(cfg, "train")
     bs = batch_size or int(config.get("training", {}).get("micro_batch_size", 8))
-    # No pad_last: padding repeats a tile the eval loop would count,
-    # biasing test metrics toward it. The trailing partial batch costs one
-    # extra compile for its shape instead.
-    return BatchLoader(ds, batch_size=bs, shuffle=False, drop_last=False)
+    # pad_last: the eval loop masks padded samples via the true count, so
+    # the trailing batch is unbiased AND reuses the one compiled shape.
+    return BatchLoader(ds, batch_size=bs, shuffle=False, drop_last=False,
+                       pad_last=True)

@@ -111,6 +111,7 @@ def calculate_mae(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 def batch_metric_sums(
     pred: jnp.ndarray, target: jnp.ndarray,
     data_range: float = DEFAULT_DATA_RANGE,
+    mask: jnp.ndarray | None = None,
 ) -> dict:
     """One fused kernel: per-sample PSNR/SSIM/SAM/RMSE summed over the batch.
 
@@ -118,13 +119,24 @@ def batch_metric_sums(
     on-device accumulation unit for `MetricsTracker`. Matching the reference
     tracker, the averages are means of **per-sample** metrics
     (metrics.py:247-256), not metrics of pooled statistics.
+
+    ``mask`` (fp32 [B], optional) weights each sample's contribution —
+    pass 0 for padded samples so a padded-to-static-shape trailing batch
+    sums only its real entries; ``count`` becomes ``sum(mask)``.
     """
+    if mask is None:
+        weigh = jnp.sum
+        count = jnp.asarray(pred.shape[0], dtype=jnp.float32)
+    else:
+        mask = mask.astype(jnp.float32)
+        weigh = lambda v: jnp.sum(v * mask)  # noqa: E731
+        count = jnp.sum(mask)
     return {
-        "psnr": jnp.sum(psnr_per_sample(pred, target, data_range)),
-        "ssim": jnp.sum(ssim_per_sample(pred, target, data_range)),
-        "sam": jnp.sum(sam_per_sample(pred, target)),
-        "rmse": jnp.sum(rmse_per_sample(pred, target)),
-        "count": jnp.asarray(pred.shape[0], dtype=jnp.float32),
+        "psnr": weigh(psnr_per_sample(pred, target, data_range)),
+        "ssim": weigh(ssim_per_sample(pred, target, data_range)),
+        "sam": weigh(sam_per_sample(pred, target)),
+        "rmse": weigh(rmse_per_sample(pred, target)),
+        "count": count,
     }
 
 

@@ -19,6 +19,15 @@ from msid_tpu.training.train_state import make_eval_step
 logger = logging.getLogger(__name__)
 
 
+def split_batch_item(item):
+    """(batch, true_count) from a loader item — loaders that pad the
+    trailing batch to the static shape yield ``(batch, count)`` tuples,
+    plain loaders yield bare arrays (count = batch size)."""
+    if isinstance(item, (tuple, list)) and len(item) == 2:
+        return item[0], int(item[1])
+    return item, int(item.shape[0])
+
+
 def run_eval_loop(eval_step, variables, loader, base_key, place=jnp.asarray) -> dict:
     """Accumulate eval-step metric sums over a loader with deterministic
     per-batch corruption keys; ONE host sync total (shared by
@@ -26,12 +35,15 @@ def run_eval_loop(eval_step, variables, loader, base_key, place=jnp.asarray) -> 
 
     The batch index is folded in as ``jnp.uint32``: a Python-int operand
     would bake a constant into the eager fold_in and trigger a fresh
-    ~1-6 s remote compile per batch on relayed TPU transports.
+    ~1-6 s remote compile per batch on relayed TPU transports. The true
+    sample count rides along the same way (an int32 array operand), so a
+    padded trailing batch reuses the full-shape executable.
     """
     sums = None
-    for i, batch in enumerate(loader):
+    for i, item in enumerate(loader):
+        batch, count = split_batch_item(item)
         key = jax.random.fold_in(base_key, jnp.uint32(i))
-        s = eval_step(variables, place(batch), key)
+        s = eval_step(variables, place(batch), key, jnp.int32(count))
         sums = s if sums is None else jax.tree_util.tree_map(jnp.add, sums, s)
     if sums is None:
         return {"loss": 0.0, "psnr": 0.0, "ssim": 0.0, "sam": 0.0, "rmse": 0.0,

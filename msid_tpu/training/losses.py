@@ -24,7 +24,7 @@ import dataclasses
 import jax.numpy as jnp
 from jax import lax
 
-from msid_tpu.ops.ssim import DEFAULT_DATA_RANGE, ssim
+from msid_tpu.ops.ssim import DEFAULT_DATA_RANGE, ssim, ssim_per_sample
 
 
 @dataclasses.dataclass(frozen=True)
@@ -86,6 +86,49 @@ def edge_perceptual_loss(pred: jnp.ndarray, target: jnp.ndarray, scales: int = 3
     total = jnp.float32(0.0)
     for s in range(scales):
         total = total + mse_loss(_edges(p), _edges(t))
+        if s + 1 < scales:
+            b, h, w, c = p.shape
+            p = jnp.mean(p.reshape(b, h // 2, 2, w // 2, 2, c), axis=(2, 4))
+            t = jnp.mean(t.reshape(b, h // 2, 2, w // 2, 2, c), axis=(2, 4))
+    return total / scales
+
+
+def combined_loss_per_sample(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    cfg: LossConfig = LossConfig(),
+) -> jnp.ndarray:
+    """Per-sample combined loss, fp32 [B].
+
+    Exact decomposition of `combined_loss`: every component is a mean over
+    equal-shaped samples, so ``mean(combined_loss_per_sample(p, t))`` equals
+    ``combined_loss(p, t)[0]``. Used by the masked eval step so a padded
+    trailing validation batch contributes only its real samples."""
+    p = pred.astype(jnp.float32)
+    t = target.astype(jnp.float32)
+    d = (p - t).reshape(p.shape[0], -1)
+    total = cfg.mse_weight * jnp.mean(d * d, axis=-1)
+    if cfg.ssim_weight > 0:
+        total = total + cfg.ssim_weight * (
+            1.0 - ssim_per_sample(pred, target, cfg.data_range)
+        )
+    if cfg.perceptual_weight > 0:
+        total = total + cfg.perceptual_weight * _edge_perceptual_per_sample(
+            pred, target
+        )
+    return total
+
+
+def _edge_perceptual_per_sample(
+    pred: jnp.ndarray, target: jnp.ndarray, scales: int = 3
+) -> jnp.ndarray:
+    """Per-sample `edge_perceptual_loss`, fp32 [B]."""
+    p = pred[..., :3].astype(jnp.float32)
+    t = target[..., :3].astype(jnp.float32)
+    total = jnp.zeros((p.shape[0],), jnp.float32)
+    for s in range(scales):
+        e = (_edges(p) - _edges(t)).reshape(p.shape[0], -1)
+        total = total + jnp.mean(e * e, axis=-1)
         if s + 1 < scales:
             b, h, w, c = p.shape
             p = jnp.mean(p.reshape(b, h // 2, 2, w // 2, 2, c), axis=(2, 4))

@@ -26,7 +26,11 @@ from flax import struct
 from msid_tpu.ops.metrics import batch_metric_sums
 from msid_tpu.ops.noise import NoiseConfig, corrupt
 from msid_tpu.ops.preprocess import preprocess_tiles
-from msid_tpu.training.losses import LossConfig, combined_loss
+from msid_tpu.training.losses import (
+    LossConfig,
+    combined_loss,
+    combined_loss_per_sample,
+)
 
 
 class TrainState(struct.PyTreeNode):
@@ -241,12 +245,20 @@ def make_eval_step(
     """Jitted eval step: corrupt deterministically (per-batch key), forward
     in eval mode, return on-device metric sums + loss sum. Never syncs.
 
+    Signature: ``(variables, batch, key, count) -> sums``. ``count`` is a
+    device int32 scalar: only the first ``count`` samples contribute to the
+    sums, so a trailing partial batch padded to the static batch shape
+    reuses the one compiled executable instead of triggering a fresh
+    ~65 s compile for its odd shape (the count varies at runtime without
+    retracing — it is an array operand, not a baked constant).
+
     Fixes reference defect #4 (resampled val corruption every epoch): the
     caller passes per-batch keys derived from a fixed eval seed.
     """
     compute_dtype = getattr(model, "dtype", jnp.float32)
 
-    def eval_step(variables: dict, batch: jnp.ndarray, key: jax.Array):
+    def eval_step(variables: dict, batch: jnp.ndarray, key: jax.Array,
+                  count: jnp.ndarray):
         if preprocess_on_device:
             clean = preprocess_tiles(batch, image_size)
         else:
@@ -254,9 +266,10 @@ def make_eval_step(
         noisy = corrupt(key, clean, noise_cfg, impl=noise_impl)
         out = model.apply(variables, noisy.astype(compute_dtype), train=False)
         out = out.astype(jnp.float32)
-        loss, _ = combined_loss(out, clean, loss_cfg)
-        sums = batch_metric_sums(out, clean)
-        sums["loss"] = loss * clean.shape[0]
+        mask = (jnp.arange(clean.shape[0]) < count).astype(jnp.float32)
+        loss_ps = combined_loss_per_sample(out, clean, loss_cfg)
+        sums = batch_metric_sums(out, clean, mask=mask)
+        sums["loss"] = jnp.sum(loss_ps * mask)
         return sums
 
     if mesh is not None:
@@ -266,7 +279,7 @@ def make_eval_step(
         batch_sharding = NamedSharding(mesh, P(data_axis))
         return _LazyAOT(jax.jit(
             eval_step,
-            in_shardings=(replicated, batch_sharding, replicated),
+            in_shardings=(replicated, batch_sharding, replicated, replicated),
             out_shardings=replicated,
         ))
     return _LazyAOT(jax.jit(eval_step))

@@ -79,7 +79,11 @@ class Trainer:
         # 187 vs 308 ms/step at effective batch 64 on v5e). Collapse unless
         # the config pins it with auto_accum: false.
         if accum > 1 and bool(training.get("auto_accum", True)):
-            if self._memory_fits(config, accum, image_size):
+            num_params = sum(
+                int(np.prod(p.shape))
+                for p in jax.tree_util.tree_leaves(state.variables["params"])
+            )
+            if self._memory_fits(config, accum, image_size, num_params=num_params):
                 logger.info(
                     "collapsing gradient accumulation %dx -> 1 (fits in HBM; "
                     "set training.auto_accum: false to keep)", accum,
@@ -142,23 +146,26 @@ class Trainer:
 
     @staticmethod
     def _memory_fits(config: dict, accum: int, image_size: int,
-                     safety: float = 0.7) -> bool:
+                     num_params: int, safety: float = 0.7,
+                     limit_gb: Optional[float] = None) -> bool:
         """Would the un-accumulated full batch fit in device memory?
         Analytic estimate (utils.setup_helpers.estimate_memory) with the
-        micro batch scaled by ``accum``, against the device's HBM if the
-        runtime exposes it (default assumption 16 GB for TPU, 8 GB else)."""
+        micro batch scaled by ``accum`` and the LIVE model's parameter
+        count (a hardcoded flagship-scale bound would collapse a 300M-param
+        vit_large into an OOM), against the device's HBM if the runtime
+        exposes it (default assumption 16 GB for TPU, 8 GB else)."""
         from msid_tpu.utils.setup_helpers import estimate_memory
 
         training = dict(config.get("training", {}))
         micro = int(training.get("micro_batch_size", 8)) * accum
         cfg = dict(config, training=dict(training, micro_batch_size=micro))
-        num_params = 96_000_000  # flagship-scale upper bound
         est = estimate_memory(cfg, num_params)["total_gb"]
 
-        limit_gb = 16.0 if jax.default_backend() == "tpu" else 8.0
-        stats = getattr(jax.local_devices()[0], "memory_stats", lambda: None)()
-        if stats and stats.get("bytes_limit"):
-            limit_gb = stats["bytes_limit"] / 1e9
+        if limit_gb is None:
+            limit_gb = 16.0 if jax.default_backend() == "tpu" else 8.0
+            stats = getattr(jax.local_devices()[0], "memory_stats", lambda: None)()
+            if stats and stats.get("bytes_limit"):
+                limit_gb = stats["bytes_limit"] / 1e9
         return est < safety * limit_gb
 
     # ---------------- epoch-level ----------------
@@ -228,19 +235,22 @@ class Trainer:
     def validate(self, loader) -> Dict[str, float]:
         """Deterministically-corrupted validation; one host sync total.
 
-        The val loader keeps every sample (no drop_last); on a mesh the
-        trailing partial batch is trimmed to the device-count multiple
-        (losing at most mesh_size-1 samples, with a warning) because the
-        sharded eval step cannot split an indivisible batch.
+        The val loader keeps every sample (no drop_last) and pads the
+        trailing partial batch to the static batch shape, yielding
+        ``(batch, true_count)`` — the eval step masks the padding, so
+        every val-set size costs exactly ONE eval-step compile. On a mesh
+        an un-padded indivisible batch (non-BatchLoader sources) is still
+        trimmed to the device-count multiple with a warning.
         """
-        from msid_tpu.training.eval import run_eval_loop
+        from msid_tpu.training.eval import run_eval_loop, split_batch_item
 
         batches = loader
         if self.mesh is not None:
             n = self.mesh.devices.size
 
             def mesh_sized(src=loader, n=n):
-                for b in src:
+                for item in src:
+                    b, count = split_batch_item(item)
                     rem = b.shape[0] % n
                     if rem:
                         if b.shape[0] < n:
@@ -252,7 +262,7 @@ class Trainer:
                             "trimming val batch %d -> %d for the %d-device "
                             "mesh", b.shape[0], b.shape[0] - rem, n)
                         b = b[: b.shape[0] - rem]
-                    yield b
+                    yield b, min(count, b.shape[0])
 
             batches = mesh_sized()
 

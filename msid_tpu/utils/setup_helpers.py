@@ -138,11 +138,17 @@ def setup_training_session(
     output_dir: str | Path = "outputs",
     seed: Optional[int] = None,
     platform: Optional[str] = None,
+    epochs: Optional[int] = None,
+    synthetic: bool = False,
 ):
     """Everything `Trainer.fit` needs, in one call
     (reference setup_helpers.py:249-294). Returns a dict with
     model/variables/state/trainer/loaders/config. ``config_path`` may be
-    an already-loaded (and possibly modified) config dict."""
+    an already-loaded (and possibly modified) config dict.
+
+    ``epochs`` overrides ``training.epochs``; ``synthetic`` forces the
+    procedural dataset regardless of ``data.root_dir``. This is the single
+    source of session wiring — the train CLI is a thin shell over it."""
     import jax
 
     from msid_tpu.data import get_dataloaders
@@ -154,6 +160,10 @@ def setup_training_session(
         dict(config_path) if isinstance(config_path, dict)
         else setup_config(config_path)
     )
+    if epochs is not None:
+        config.setdefault("training", {})["epochs"] = int(epochs)
+    if synthetic:
+        config.setdefault("data", {})["root_dir"] = "/nonexistent-forces-synthetic"
     seed = int(config.get("seed", 42)) if seed is None else seed
 
     train_loader, val_loader = get_dataloaders(config)
@@ -163,7 +173,12 @@ def setup_training_session(
     if pretrained and Path(pretrained).exists():
         from msid_tpu.models.convert import load_pretrained_encoder
 
+        logger.info("Loading pretrained SatMAE weights from %s", pretrained)
         variables = load_pretrained_encoder(pretrained, variables)
+    elif pretrained:
+        logger.warning(
+            "pretrained_path %s not found — training from scratch", pretrained
+        )
 
     tx, schedule, _, _ = create_training_components(
         config, variables, steps_per_epoch=max(1, len(train_loader))

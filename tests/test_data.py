@@ -100,7 +100,13 @@ def test_batch_loader_pad_last():
     loader = BatchLoader(ds, batch_size=8, shuffle=False, drop_last=False, pad_last=True)
     batches = list(loader)
     assert len(batches) == 2
-    assert batches[1].shape == (8, 64, 64, 13)
+    # pad_last yields (batch, true_count): static shape + mask count
+    b0, n0 = batches[0]
+    b1, n1 = batches[1]
+    assert b0.shape == (8, 64, 64, 13) and n0 == 8
+    assert b1.shape == (8, 64, 64, 13) and n1 == 4
+    # padding repeats the first real tile of the trailing batch
+    assert np.array_equal(b1[4], b1[0])
 
 
 def test_build_dataset_synthetic_fallback(tmp_path):

@@ -79,11 +79,12 @@ def test_sharded_eval_step(mesh, setup):
     model, variables, tx, state = setup
     eval_step = make_eval_step(model, LossConfig(), NoiseConfig(), image_size=64, mesh=mesh)
     batch = np.random.default_rng(2).uniform(0, 10000, (16, 64, 64, 13)).astype(np.float32)
-    sums = eval_step(replicate(variables, mesh), shard_batch(batch, mesh), jax.random.PRNGKey(0))
+    sums = eval_step(replicate(variables, mesh), shard_batch(batch, mesh),
+                     jax.random.PRNGKey(0), jnp.int32(16))
     assert float(jax.device_get(sums["count"])) == 16.0
     # parity with unsharded eval
     single = make_eval_step(model, LossConfig(), NoiseConfig(), image_size=64)
-    ref = single(variables, jnp.asarray(batch), jax.random.PRNGKey(0))
+    ref = single(variables, jnp.asarray(batch), jax.random.PRNGKey(0), jnp.int32(16))
     assert float(ref["psnr"]) == pytest.approx(float(jax.device_get(sums["psnr"])), rel=1e-5)
 
 
@@ -181,3 +182,44 @@ def test_mesh_inference_session_matches_single_device(mesh, setup):
     with pytest.raises(ValueError, match="divide"):
         InferenceSession(model=model, variables=variables,
                          batch_size=6, image_size=64, mesh=mesh)
+
+
+# ---------------- multi-host helpers (single-process smoke) ----------------
+
+
+def test_initialize_from_env_single_process_fallback(monkeypatch):
+    from msid_tpu.parallel.distributed import initialize_from_env
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID", "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(var, raising=False)
+    assert initialize_from_env() is False
+    # nproc without a coordinator (and no TPU pod env) also falls back
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    assert initialize_from_env() is False
+
+
+def test_initialize_from_env_bad_coordinator_falls_back(monkeypatch):
+    """An unreachable coordinator must degrade to single-process, not raise."""
+    from msid_tpu.parallel.distributed import initialize_from_env
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "definitely-not-a-host:0")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    monkeypatch.setenv("JAX_PROCESS_ID", "0")
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda **kw: (_ for _ in ()).throw(RuntimeError("unreachable")),
+    )
+    assert initialize_from_env() is False
+
+
+def test_host_local_batch_to_global(mesh):
+    from msid_tpu.parallel.distributed import host_local_batch_to_global
+
+    batch = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    arr = host_local_batch_to_global(batch, mesh)
+    # process_count == 1: global == local, sharded over the data axis
+    assert arr.shape == (16, 4)
+    assert np.array_equal(np.asarray(jax.device_get(arr)), batch)
+    names = arr.sharding.spec
+    assert names[0] == "data"

@@ -82,6 +82,50 @@ def test_checkpoint_save_and_resume(tmp_path):
     assert len(history["train_loss"]) == 3
 
 
+def test_validate_padded_loader_single_compile():
+    """A padded trailing val batch (pad_last tuples) must reuse the one
+    compiled eval executable and average over only the real samples."""
+    cfg = dict(CONFIG, parallel={"enabled": False})
+    trainer = _make_trainer(cfg)
+    rng = np.random.default_rng(5)
+    full = rng.uniform(0, 10000, (8, 64, 64, 13)).astype(np.float32)
+    real = rng.uniform(0, 10000, (3, 64, 64, 13)).astype(np.float32)
+    padded = np.concatenate([real, np.repeat(real[:1], 5, axis=0)], axis=0)
+
+    res = trainer.validate([full, (padded, 3)])
+    assert np.isfinite(res["psnr"])
+    # one (shape, dtype) signature -> exactly one compiled executable
+    assert len(trainer.eval_step._cache) == 1
+
+    # masked average == eval over the 11 real samples (count-weighted)
+    from msid_tpu.training.eval import run_eval_loop
+
+    probed = run_eval_loop(
+        trainer.eval_step, trainer.state.variables, [full, (padded, 3)],
+        jax.random.PRNGKey(trainer.eval_seed), place=trainer._place_batch,
+    )
+    assert probed["num_samples"] == 11
+    assert res["psnr"] == pytest.approx(probed["psnr"])
+
+
+def test_memory_fits_uses_live_param_count():
+    """vit_base collapses accumulation on a 16 GB budget; a 300M-param
+    vit_large (4.9 GB params+moments+grads alone) must not."""
+    base_cfg = {
+        "training": {"micro_batch_size": 8}, "data": {"image_size": 192},
+        "model": {"encoder": {"depth": 12, "embed_dim": 768, "patch_size": 16}},
+    }
+    large_cfg = {
+        "training": {"micro_batch_size": 8}, "data": {"image_size": 192},
+        "model": {"encoder": {"depth": 24, "embed_dim": 1024, "patch_size": 16}},
+    }
+    fits_base = Trainer._memory_fits(base_cfg, accum=64, image_size=192,
+                                     num_params=96_000_000, limit_gb=16.0)
+    fits_large = Trainer._memory_fits(large_cfg, accum=64, image_size=192,
+                                      num_params=307_000_000, limit_gb=16.0)
+    assert fits_base and not fits_large
+
+
 def test_early_stopping_triggers():
     cfg = dict(CONFIG, early_stopping={"enabled": True, "patience": 1,
                                        "min_delta": 100.0})

@@ -222,12 +222,49 @@ def test_eval_step_sums(model_and_vars):
     model, variables = model_and_vars
     eval_step = make_eval_step(model, LossConfig(), NoiseConfig(), image_size=64)
     batch = jnp.asarray(np.random.default_rng(0).uniform(0, 10000, (4, 64, 64, 13)).astype(np.float32))
-    sums = eval_step(variables, batch, jax.random.PRNGKey(0))
+    sums = eval_step(variables, batch, jax.random.PRNGKey(0), jnp.int32(4))
     assert set(sums) == {"psnr", "ssim", "sam", "rmse", "count", "loss"}
     assert float(sums["count"]) == 4.0
     # deterministic for a fixed key
-    sums2 = eval_step(variables, batch, jax.random.PRNGKey(0))
+    sums2 = eval_step(variables, batch, jax.random.PRNGKey(0), jnp.int32(4))
     assert float(sums["psnr"]) == float(sums2["psnr"])
+
+
+def test_eval_step_masked_padding(model_and_vars):
+    """A batch padded to the static shape with count=k must reproduce the
+    unpadded k-sample sums exactly (noise disabled so the per-sample
+    corruption is independent of batch size)."""
+    model, variables = model_and_vars
+    quiet = NoiseConfig(
+        gaussian_sigma=0.0, speckle_sigma=0.0, dead_band_prob=0.0,
+        thermal_scale=0.0, enable_striping=False,
+    )
+    eval_step = make_eval_step(model, LossConfig(), quiet, image_size=64)
+    rng = np.random.default_rng(3)
+    real = rng.uniform(0, 10000, (3, 64, 64, 13)).astype(np.float32)
+    pad = np.repeat(real[:1], 1, axis=0)
+    padded = jnp.asarray(np.concatenate([real, pad], axis=0))
+
+    masked = eval_step(variables, padded, jax.random.PRNGKey(0), jnp.int32(3))
+    unpadded = eval_step(
+        variables, jnp.asarray(real), jax.random.PRNGKey(0), jnp.int32(3)
+    )
+    assert float(masked["count"]) == 3.0
+    for k in ("psnr", "ssim", "sam", "rmse", "loss"):
+        assert float(masked[k]) == pytest.approx(float(unpadded[k]), rel=1e-6), k
+
+
+def test_per_sample_loss_matches_combined(model_and_vars):
+    from msid_tpu.training.losses import combined_loss, combined_loss_per_sample
+
+    rng = np.random.default_rng(4)
+    pred = jnp.asarray(rng.normal(size=(4, 32, 32, 13)).astype(np.float32))
+    target = jnp.asarray(rng.normal(size=(4, 32, 32, 13)).astype(np.float32))
+    cfg = LossConfig(mse_weight=1.0, ssim_weight=0.1, perceptual_weight=0.05)
+    total, _ = combined_loss(pred, target, cfg)
+    per_sample = combined_loss_per_sample(pred, target, cfg)
+    assert per_sample.shape == (4,)
+    assert float(jnp.mean(per_sample)) == pytest.approx(float(total), rel=1e-5)
 
 
 def test_build_optimizer_from_config(model_and_vars):
