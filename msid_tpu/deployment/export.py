@@ -52,9 +52,9 @@ def _flatten_variables(variables, prefix: str = "") -> dict:
     `name#i` key segment so :func:`_unflatten_variables` can rebuild the
     list (the fastpath tree nests lists: blocks, stages, res).
 
-    Empty containers cannot round-trip through flat keys (they would be
-    silently dropped, corrupting the pytree structure the serialized
-    module expects) — raise instead of corrupting.
+    Empty lists round-trip via an explicit `name#_empty` marker (e.g. a
+    unet_light stage with num_residual_blocks=0 has ``res == []``). Empty
+    dicts would still be silently dropped — raise instead of corrupting.
     """
     flat = {}
     if isinstance(variables, dict):
@@ -63,9 +63,12 @@ def _flatten_variables(variables, prefix: str = "") -> dict:
         items = [(f"{i}", v) for i, v in enumerate(variables)]
     for k, v in items:
         key = f"{prefix}/{k}" if prefix else str(k)
-        if isinstance(v, (dict, list, tuple)) and len(v) == 0:
+        if isinstance(v, (list, tuple)) and len(v) == 0:
+            flat[f"{key}#_empty"] = np.zeros((0,), np.float32)
+            continue
+        if isinstance(v, dict) and len(v) == 0:
             raise ValueError(
-                f"cannot serialize empty container at {key!r} — it would "
+                f"cannot serialize empty dict at {key!r} — it would "
                 "not survive the flat key/value round trip"
             )
         if isinstance(v, dict):
@@ -92,6 +95,10 @@ def _listify(node):
     for k in list(node.keys()):
         if "#" in k:
             name, idx = k.rsplit("#", 1)
+            if idx == "_empty":  # explicit empty-list marker
+                node.pop(k)
+                node[name] = []
+                continue
             groups.setdefault(name, {})[int(idx)] = node.pop(k)
     for name, items in groups.items():
         node[name] = [items[i] for i in range(len(items))]

@@ -104,7 +104,9 @@ def make_scene_step(model, variables, window: int, model_size: int,
     variables, raw_step = _make_scene_forward(
         model, variables, window, model_size, optimize
     )
-    return functools.partial(jax.jit(raw_step), variables)
+    fn = functools.partial(jax.jit(raw_step), variables)
+    fn.assembly = "host"  # checked by restore_scene against device_assembly
+    return fn
 
 
 def make_device_scene_step(model, variables, window: int, model_size: int,
@@ -164,7 +166,9 @@ def make_device_scene_step(model, variables, window: int, model_size: int,
         )
         return out_sum, w_sum
 
-    return functools.partial(step, variables)
+    fn = functools.partial(step, variables)
+    fn.assembly = "device"  # checked by restore_scene against device_assembly
+    return fn
 
 
 def restore_scene(
@@ -199,6 +203,16 @@ def restore_scene(
     """
     if not 0 <= overlap < window:
         raise ValueError(f"overlap ({overlap}) must be in [0, window={window})")
+    if step is not None:
+        expected = "device" if device_assembly else "host"
+        tag = getattr(step, "assembly", None)
+        if tag is not None and tag != expected:
+            raise ValueError(
+                f"step was built for {tag} assembly but "
+                f"device_assembly={device_assembly} — build it with "
+                + ("make_device_scene_step" if device_assembly
+                   else "make_scene_step")
+            )
     scene = np.asarray(scene)
     h0, w0 = scene.shape[:2]
     if h0 < window or w0 < window:

@@ -90,8 +90,11 @@ def _noise_kernel(seed_ref, x_ref, out_ref, *, cfg: NoiseConfig, channels: int):
     chan = (lane % channels).astype(jnp.float32)
 
     # cfg is static: skip the per-sample draws entirely for disabled
-    # components (each branch is resolved at trace time; the enabled-path
-    # draw ORDER is unchanged so enabled configs keep their streams).
+    # components (each branch is resolved at trace time). NB: disabling an
+    # earlier component shifts later components to the head of the
+    # per-sample PRNG stream — the default all-enabled config keeps its
+    # stream, but e.g. a striping-enabled/dead-band-disabled config draws
+    # different stripe patterns for the same seed than the all-enabled one.
     alive = None
     if cfg.dead_band_prob > 0:
         dead_u = _uniform((1, 1, wc))

@@ -33,7 +33,14 @@ def normalize_raw(x: jnp.ndarray) -> jnp.ndarray:
     scales — no host sync.
     """
     x = x.astype(jnp.float32)
-    axes = tuple(range(1, x.ndim))  # per-sample over H, W, C
+    if x.ndim < 3:
+        raise ValueError(
+            f"normalize_raw expects [..., H, W, C] (got shape {x.shape})"
+        )
+    # Per-image over the last three axes (H, W, C) — any leading axes are
+    # batch-like. Reducing over all-but-first would give an unbatched
+    # [H, W, C] tile a per-row scale and silently corrupt it.
+    axes = tuple(range(x.ndim - 3, x.ndim))
     m = jnp.max(x, axis=axes, keepdims=True)
     scale = jnp.where(m > 10.0, 1.0 / 10000.0, jnp.where(m > 1.5, 1.0 / 255.0, 1.0))
     return x * scale

@@ -28,7 +28,7 @@ _INHERIT_KEY = "inherits"
 
 
 def load_config(
-    config_path: str | Path, _seen: Optional[frozenset] = None
+    config_path: str | Path, _seen: tuple = ()
 ) -> Dict[str, Any]:
     """Load a YAML config, resolving inheritance recursively.
 
@@ -43,9 +43,10 @@ def load_config(
         raise FileNotFoundError(f"Config file not found: {config_path}")
 
     resolved = config_path.resolve()
-    seen = _seen or frozenset()
-    if resolved in seen:
-        chain = " -> ".join(str(p) for p in seen)
+    if resolved in _seen:
+        # _seen is an ordered tuple so the reported chain reflects the
+        # actual traversal order (a set would print it shuffled).
+        chain = " -> ".join(str(p) for p in _seen)
         raise ValueError(f"Config inheritance cycle: {chain} -> {resolved}")
 
     with open(config_path, "r") as f:
@@ -54,7 +55,7 @@ def load_config(
     base_path = _find_base_config(config_path, config)
     config.pop(_INHERIT_KEY, None)
     if base_path is not None:
-        base_config = load_config(base_path, _seen=seen | {resolved})
+        base_config = load_config(base_path, _seen=_seen + (resolved,))
         config = merge_configs(base_config, config)
 
     return config

@@ -96,3 +96,20 @@ def test_repo_configs_load_and_validate():
     for exp in (root / "configs" / "experiments").glob("*.yaml"):
         c = load_config(exp)
         assert validate_config(c), exp
+
+
+def test_inheritance_cycle_reports_ordered_chain(tmp_path):
+    import pytest
+    import yaml as _yaml
+
+    from msid_tpu.utils.config import load_config
+
+    a, b, c = tmp_path / "a.yaml", tmp_path / "b.yaml", tmp_path / "c.yaml"
+    a.write_text(_yaml.dump({"inherits": "b.yaml"}))
+    b.write_text(_yaml.dump({"inherits": "c.yaml"}))
+    c.write_text(_yaml.dump({"inherits": "a.yaml"}))
+    with pytest.raises(ValueError, match="cycle") as exc:
+        load_config(a)
+    msg = str(exc.value)
+    # the chain reflects actual traversal order: a -> b -> c -> a
+    assert msg.index("a.yaml") < msg.index("b.yaml") < msg.index("c.yaml")

@@ -78,6 +78,28 @@ def test_restore_scene_matches_reference_assembly(model_and_vars):
     assert np.allclose(out, num / den, atol=1e-4)
 
 
+def test_restore_scene_rejects_mismatched_step(model_and_vars):
+    """A host-assembly step passed with device_assembly=True (and vice
+    versa) must fail loudly up front, not with an arity error mid-loop."""
+    from msid_tpu.deployment.sliding_window import (
+        make_device_scene_step,
+        make_scene_step,
+        restore_scene,
+    )
+
+    model, variables = model_and_vars
+    scene = np.zeros((96, 96, 13), np.float32)
+    host_step = make_scene_step(model, variables, window=64, model_size=64)
+    with pytest.raises(ValueError, match="host assembly"):
+        restore_scene(model, variables, scene, window=64, overlap=16,
+                      model_size=64, step=host_step, device_assembly=True)
+    dev_step = make_device_scene_step(model, variables, window=64,
+                                      model_size=64, overlap=16)
+    with pytest.raises(ValueError, match="device assembly"):
+        restore_scene(model, variables, scene, window=64, overlap=16,
+                      model_size=64, step=dev_step, device_assembly=False)
+
+
 def test_restore_scene_matches_single_window(model_and_vars):
     """Scene == one window → identical to a direct forward pass."""
     from msid_tpu.deployment.sliding_window import restore_scene

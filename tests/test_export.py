@@ -201,3 +201,22 @@ def test_flatten_roundtrip_with_lists():
     assert isinstance(back["blocks"], list) and len(back["blocks"]) == 2
     assert isinstance(back["blocks"][0]["ln"], list)
     assert isinstance(back["nested"]["stages"][0]["res"], list)
+
+
+def test_flatten_roundtrip_empty_list():
+    """num_residual_blocks=0 gives stage['res'] == [] — must round-trip."""
+    from msid_tpu.deployment.export import (
+        _flatten_variables,
+        _unflatten_variables,
+    )
+
+    tree = {"stages": [{"res": [], "w": np.ones(2)}], "top": []}
+    back = _unflatten_variables(_flatten_variables(tree))
+    assert back["stages"][0]["res"] == []
+    assert back["top"] == []
+    np.testing.assert_array_equal(np.asarray(back["stages"][0]["w"]), np.ones(2))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty dict"):
+        _flatten_variables({"a": {}})

@@ -119,6 +119,19 @@ def test_normalize_raw_heuristics():
     assert float(out[1].max()) == pytest.approx(0.5)   # unit tile untouched
 
 
+def test_normalize_raw_unbatched_and_rank_check():
+    # an unbatched [H, W, C] tile gets ONE per-image scale (not per-row)
+    tile = jnp.full((4, 4, 13), 5000.0).at[0].set(20.0)
+    out = normalize_raw(tile)
+    assert float(out.max()) == pytest.approx(0.5)
+    assert float(out[0, 0, 0]) == pytest.approx(20.0 / 10000.0)
+    # extra leading axes are batch-like
+    stacked = jnp.stack([jnp.full((2, 4, 4, 13), 5000.0)] * 3)
+    assert normalize_raw(stacked).shape == (3, 2, 4, 4, 13)
+    with pytest.raises(ValueError, match="H, W, C"):
+        normalize_raw(jnp.ones((4, 4)))
+
+
 def test_model_range_roundtrip():
     x = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (2, 8, 8, 13)).astype(np.float32))
     y = to_model_range(x)
