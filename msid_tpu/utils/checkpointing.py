@@ -18,12 +18,37 @@ from __future__ import annotations
 
 import json
 import logging
+import threading
 from pathlib import Path
 from typing import Any, Optional
 
 import orbax.checkpoint as ocp
 
 logger = logging.getLogger(__name__)
+
+
+def _cast_moments(state: Any, dtype) -> Any:
+    """Cast the non-scalar fp32 leaves of ``state.opt_state`` (the AdamW
+    m/v moment trees) to ``dtype``, leaving params, batch stats, schedule
+    scalars, and integer counts untouched. No-op for states without an
+    ``opt_state``/``replace`` (plain pytrees)."""
+    import jax
+    import jax.numpy as jnp
+
+    if not (hasattr(state, "opt_state") and hasattr(state, "replace")):
+        return state
+    dtype = jnp.dtype(dtype)
+
+    def cast(leaf):
+        if (
+            hasattr(leaf, "dtype")
+            and leaf.dtype == jnp.float32
+            and getattr(leaf, "ndim", 0) > 0
+        ):
+            return leaf.astype(dtype)
+        return leaf
+
+    return state.replace(opt_state=jax.tree.map(cast, state.opt_state))
 
 
 class CheckpointManager:
@@ -37,12 +62,29 @@ class CheckpointManager:
         mode: str = "max",
         save_every: int = 1,
         async_save: bool = True,
+        moments_dtype: Optional[str] = None,
+        background_transfer: bool = False,
     ):
+        """``moments_dtype`` (e.g. "bfloat16") casts the AdamW moment trees
+        before saving — cuts the full-size state from ~1.5 GB to ~1.0 GB,
+        which is pure device→host transfer time on relayed TPU transports.
+        Restore casts back to the target's fp32; the one-time rounding
+        perturbs the effective per-param Adam step by ≲0.4% at resume.
+        Off by default (bit-exact resume).
+
+        ``background_transfer`` snapshots the state on device (cheap) and
+        runs the blocking device→host copy + Orbax save in a worker
+        thread, so training epochs overlap the transfer instead of
+        stalling on it. Saves stay ordered (one in flight at a time)."""
         self.directory = Path(directory).absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
         self.metric = metric
         self.mode = mode
         self.save_every = save_every
+        self.moments_dtype = moments_dtype
+        self.background_transfer = background_transfer
+        self._save_thread: Optional[threading.Thread] = None
+        self._save_error: Optional[BaseException] = None
 
         def best_fn(metrics: dict) -> float:
             return float(metrics.get(self.metric, float("-inf") if mode == "max" else float("inf")))
@@ -65,30 +107,90 @@ class CheckpointManager:
         if not force and self.save_every > 1 and step % self.save_every != 0:
             return False
         metrics = {k: float(v) for k, v in (metrics or {}).items()}
-        args = ocp.args.Composite(
-            state=ocp.args.StandardSave(state),
-            metadata=ocp.args.JsonSave(metadata or {}),
+        metadata = dict(metadata or {})
+        if self.moments_dtype and hasattr(state, "opt_state"):
+            state = _cast_moments(state, self.moments_dtype)
+            metadata["_moments_dtype"] = str(self.moments_dtype)
+
+        if not self.background_transfer:
+            args = ocp.args.Composite(
+                state=ocp.args.StandardSave(state),
+                metadata=ocp.args.JsonSave(metadata),
+            )
+            return self._mgr.save(step, args=args, metrics=metrics, force=force)
+
+        # Snapshot on device (a fused copy per leaf — milliseconds), then
+        # hand the blocking device→host transfer to a worker thread so the
+        # caller's train loop keeps stepping while the bytes move.
+        import jax
+        import jax.numpy as jnp
+
+        self._join_save_thread()
+        snapshot = jax.tree.map(
+            lambda leaf: jnp.copy(leaf) if hasattr(leaf, "dtype") else leaf,
+            state,
         )
-        saved = self._mgr.save(step, args=args, metrics=metrics, force=force)
-        return saved
+
+        def _worker():
+            try:
+                args = ocp.args.Composite(
+                    state=ocp.args.StandardSave(snapshot),
+                    metadata=ocp.args.JsonSave(metadata),
+                )
+                self._mgr.save(step, args=args, metrics=metrics, force=force)
+            except BaseException as exc:  # re-raised at the next sync point
+                self._save_error = exc
+
+        self._save_thread = threading.Thread(
+            target=_worker, name=f"ckpt-save-{step}", daemon=True
+        )
+        self._save_thread.start()
+        return True
+
+    def _join_save_thread(self) -> None:
+        if self._save_thread is not None:
+            self._save_thread.join()
+            self._save_thread = None
+        if self._save_error is not None:
+            err, self._save_error = self._save_error, None
+            raise err
 
     def wait_until_finished(self) -> None:
+        self._join_save_thread()
         self._mgr.wait_until_finished()
 
     def _restore(self, step: int, target: Any = None):
-        self._mgr.wait_until_finished()  # drain any in-flight async save
-        if target is not None:
-            args = ocp.args.Composite(
-                state=ocp.args.StandardRestore(target),
-                metadata=ocp.args.JsonRestore(),
+        self.wait_until_finished()  # drain any in-flight async save
+        meta = self._mgr.restore(
+            step, args=ocp.args.Composite(metadata=ocp.args.JsonRestore())
+        )["metadata"]
+        saved_dtype = (meta or {}).get("_moments_dtype")
+
+        restore_target = target
+        if target is not None and saved_dtype:
+            # The on-disk moments are low-precision; restore into a
+            # matching-dtype target, then cast back up to the caller's.
+            restore_target = _cast_moments(target, saved_dtype)
+        args = ocp.args.Composite(
+            state=ocp.args.StandardRestore(restore_target)
+            if restore_target is not None
+            else ocp.args.StandardRestore(),
+        )
+        state = self._mgr.restore(step, args=args)["state"]
+        if target is not None and saved_dtype:
+            import jax
+            import jax.numpy as jnp
+
+            state = state.replace(
+                opt_state=jax.tree.map(
+                    lambda s, t: s.astype(t.dtype)
+                    if hasattr(s, "dtype") and s.dtype != t.dtype
+                    else s,
+                    state.opt_state,
+                    target.opt_state,
+                )
             )
-        else:
-            args = ocp.args.Composite(
-                state=ocp.args.StandardRestore(),
-                metadata=ocp.args.JsonRestore(),
-            )
-        out = self._mgr.restore(step, args=args)
-        return out["state"], out["metadata"]
+        return state, meta
 
     def load_latest(self, target: Any = None):
         """(state, metadata, step) for the newest checkpoint, or None."""
@@ -115,6 +217,7 @@ class CheckpointManager:
         return sorted(self._mgr.all_steps())
 
     def close(self):
+        self._join_save_thread()
         self._mgr.close()
 
 

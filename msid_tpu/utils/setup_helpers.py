@@ -192,6 +192,8 @@ def setup_training_session(
         metric=str(ckpt_cfg.get("metric", "val_psnr")),
         mode="min" if "loss" in str(ckpt_cfg.get("metric", "val_psnr")) else "max",
         save_every=int(ckpt_cfg.get("save_every", 1)),
+        moments_dtype=ckpt_cfg.get("moments_dtype"),
+        background_transfer=bool(ckpt_cfg.get("background_transfer", False)),
     )
     trainer = Trainer(
         model, tx, state, config=config,

@@ -82,6 +82,33 @@ def test_checkpoint_save_and_resume(tmp_path):
     assert len(history["train_loss"]) == 3
 
 
+def test_compact_background_checkpoint_roundtrip(tmp_path):
+    """moments_dtype=bf16 + background_transfer: the saved AdamW moments are
+    bf16 on disk, a plain manager restores them back to fp32 within one bf16
+    ulp, and params stay bit-exact (never cast)."""
+    mgr = CheckpointManager(tmp_path, metric="val_psnr",
+                            moments_dtype="bfloat16", background_transfer=True)
+    trainer = _make_trainer(manager=mgr)
+    trainer.fit(_loader(2), _loader(1, seed=9), epochs=1)
+    mgr.wait_until_finished()
+    assert mgr.all_steps() == [1]
+
+    trainer2 = _make_trainer(manager=CheckpointManager(tmp_path))
+    assert trainer2.load_checkpoint() == 1
+
+    for lo, lr in zip(jax.tree.leaves(trainer.state.opt_state),
+                      jax.tree.leaves(trainer2.state.opt_state)):
+        assert lo.dtype == lr.dtype  # cast back up to the live target dtype
+        if lo.dtype == jnp.float32 and lo.ndim > 0:  # the cast moments
+            np.testing.assert_allclose(
+                np.asarray(lr), np.asarray(lo), rtol=1 / 256, atol=0)
+        else:  # counts / schedule scalars stay exact
+            np.testing.assert_array_equal(np.asarray(lr), np.asarray(lo))
+    for po, pr in zip(jax.tree.leaves(trainer.state.params),
+                      jax.tree.leaves(trainer2.state.params)):
+        np.testing.assert_array_equal(np.asarray(po), np.asarray(pr))
+
+
 def test_validate_padded_loader_single_compile():
     """A padded trailing val batch (pad_last tuples) must reuse the one
     compiled eval executable and average over only the real samples."""
