@@ -151,10 +151,14 @@ class SyntheticEuroSAT:
         seed: int = 42,
         num_bands: int = NUM_BANDS,
         tile_size: int = TILE_SIZE,
+        complexity: str = "base",
     ):
+        if complexity not in ("base", "rich"):
+            raise ValueError(f"unknown synthetic complexity {complexity!r}")
         self.num_bands = num_bands
         self.tile_size = tile_size
         self.seed = seed
+        self.complexity = complexity
         train_idx, val_idx = _reference_split(num_samples, train_split, seed)
         self.indices = train_idx if split == "train" else val_idx
         # tiles are deterministic per (seed, index) and small (~213 KB);
@@ -173,16 +177,22 @@ class SyntheticEuroSAT:
         self._cache[idx] = tile
         return tile
 
+    @staticmethod
+    def _smooth_field(rng, t: int, cell: int) -> np.ndarray:
+        """Random coarse grid, nearest-upsampled then box-smoothed, in [0,1]."""
+        coarse = rng.normal(size=(max(t // cell, 1), max(t // cell, 1)))
+        field = np.kron(coarse, np.ones((cell, cell)))[:t, :t]
+        for axis in (0, 1):
+            field = (np.roll(field, 1, axis) + field + np.roll(field, -1, axis)) / 3.0
+        return (field - field.min()) / (np.ptp(field) + 1e-9)
+
     def _generate(self, gidx: int) -> np.ndarray:
         rng = np.random.default_rng(self.seed * 1_000_003 + gidx)
         t = self.tile_size
+        if self.complexity == "rich":
+            return self._generate_rich(rng, t)
         # low-frequency base field: random coarse grid, bilinear-upsampled
-        coarse = rng.normal(size=(t // 8, t // 8))
-        base = np.kron(coarse, np.ones((8, 8)))
-        # smooth
-        for axis in (0, 1):
-            base = (np.roll(base, 1, axis) + base + np.roll(base, -1, axis)) / 3.0
-        base = (base - base.min()) / (np.ptp(base) + 1e-9)
+        base = self._smooth_field(rng, t, 8)
         # per-band gain/offset with spectral correlation + band-specific texture
         bands = []
         for b in range(self.num_bands):
@@ -191,6 +201,54 @@ class SyntheticEuroSAT:
             band = np.clip(base * gain + texture + 0.1, 0, 1)
             bands.append(band)
         img = np.stack(bands, axis=-1) * 10000.0  # Sentinel-2 DN range
+        return img.astype(np.float32)
+
+    def _generate_rich(self, rng, t: int) -> np.ndarray:
+        """EuroSAT-like procedural tile: land-cover-style segments with
+        distinct spectral signatures + multi-octave texture.
+
+        Why: the 'base' tiles are one smooth field with per-band gains —
+        a denoiser saturates on them near 35.5 dB (round-1 600-epoch
+        ceiling). Rich tiles add (a) segmentation structure (thresholded
+        smooth field → 2-4 'classes', each with its own smooth per-band
+        signature, like fields/forest/water patches in EuroSAT), (b)
+        three octaves of spatial detail, (c) cross-band-correlated
+        high-frequency texture — so restoration must exploit spatial
+        edges AND spectral correlation, as on the real data.
+        """
+        c = self.num_bands
+        # (a) class segmentation from a smooth field
+        num_classes = int(rng.integers(2, 5))
+        seg_field = self._smooth_field(rng, t, 16)
+        thresholds = np.sort(rng.uniform(0.2, 0.8, num_classes - 1))
+        seg = np.digitize(seg_field, thresholds)  # [t, t] in 0..K-1
+
+        # per-class smooth spectral signature: low-order cosine mixture
+        # over the band index (bands of one class move together)
+        band_idx = np.arange(c)
+        signatures = np.stack([
+            0.35 + 0.3 * rng.uniform()
+            + 0.25 * np.cos(band_idx * rng.uniform(0.2, 0.9) + rng.uniform(0, np.pi))
+            + 0.1 * np.cos(band_idx * rng.uniform(1.0, 2.2) + rng.uniform(0, np.pi))
+            for _ in range(num_classes)
+        ])  # [K, C]
+
+        # (b) multi-octave modulation shared across bands
+        octaves = (
+            0.50 * self._smooth_field(rng, t, 16)
+            + 0.30 * self._smooth_field(rng, t, 8)
+            + 0.20 * self._smooth_field(rng, t, 4)
+        )
+        # (c) cross-band-correlated texture: one shared hi-freq field,
+        # per-band scaling, plus a little independent per-band noise
+        shared_tex = rng.normal(scale=1.0, size=(t, t))
+        band_tex_gain = rng.uniform(0.01, 0.05, c)
+
+        img = signatures[seg]  # [t, t, C] class signature per pixel
+        img = img * (0.6 + 0.55 * octaves[..., None])
+        img += shared_tex[..., None] * band_tex_gain
+        img += rng.normal(scale=0.01, size=(t, t, c))
+        img = np.clip(img, 0.0, 1.0) * 10000.0  # Sentinel-2 DN range
         return img.astype(np.float32)
 
 
@@ -209,5 +267,9 @@ def build_dataset(config: dict, split: str):
         if data_cfg.get("synthetic_fallback", True):
             logger.warning("Dataset not found at %s — using synthetic tiles", root)
             n = int(data_cfg.get("synthetic_samples", 512))
-            return SyntheticEuroSAT(n, split=split, **kwargs)
+            return SyntheticEuroSAT(
+                n, split=split,
+                complexity=str(data_cfg.get("synthetic_complexity", "base")),
+                **kwargs,
+            )
         raise

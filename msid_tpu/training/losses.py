@@ -9,12 +9,15 @@ Parity with the reference loss stack
     under bf16 training (the variance terms cancel catastrophically in
     half precision — the reference needed the same care under AMP).
   * `l1_loss` (losses.py:192-202).
-  * `edge_perceptual_loss` — the TPU-native stand-in for the reference's
-    optional VGG16 `PerceptualLoss` (losses.py:205-277, off by default via
-    ``perceptual_weight: 0.0``). Pretrained VGG is unavailable without
-    torch on the TPU path, so this uses fixed multi-scale Sobel edge
-    responses on the first 3 bands — a deterministic structural feature
-    loss with the same config surface.
+  * perceptual loss, two implementations behind one config surface:
+    `msid_tpu.training.perceptual.vgg_perceptual_loss` is the faithful
+    port of the reference's VGG16 `PerceptualLoss` (losses.py:205-277,
+    off by default via ``perceptual_weight: 0.0``) for when the user
+    supplies pretrained weights (``perceptual_impl: vgg`` +
+    ``perceptual_weights_path``); `edge_perceptual_loss` is the
+    weight-free fallback — fixed multi-scale Sobel edge responses on the
+    first 3 bands (pretrained VGG cannot be downloaded in this
+    environment).
 """
 
 from __future__ import annotations
@@ -97,6 +100,7 @@ def combined_loss_per_sample(
     pred: jnp.ndarray,
     target: jnp.ndarray,
     cfg: LossConfig = LossConfig(),
+    vgg_params: dict | None = None,
 ) -> jnp.ndarray:
     """Per-sample combined loss, fp32 [B].
 
@@ -113,9 +117,13 @@ def combined_loss_per_sample(
             1.0 - ssim_per_sample(pred, target, cfg.data_range)
         )
     if cfg.perceptual_weight > 0:
-        total = total + cfg.perceptual_weight * _edge_perceptual_per_sample(
-            pred, target
-        )
+        if vgg_params is not None:
+            from msid_tpu.training.perceptual import vgg_perceptual_per_sample
+
+            per = vgg_perceptual_per_sample(vgg_params, pred, target)
+        else:
+            per = _edge_perceptual_per_sample(pred, target)
+        total = total + cfg.perceptual_weight * per
     return total
 
 
@@ -140,8 +148,13 @@ def combined_loss(
     pred: jnp.ndarray,
     target: jnp.ndarray,
     cfg: LossConfig = LossConfig(),
+    vgg_params: dict | None = None,
 ) -> tuple[jnp.ndarray, dict]:
-    """Weighted MSE + (1−SSIM) [+ perceptual]; returns (scalar, components)."""
+    """Weighted MSE + (1−SSIM) [+ perceptual]; returns (scalar, components).
+
+    ``vgg_params`` switches the perceptual term from the Sobel edge
+    stand-in to the reference's VGG16 feature MSE (see
+    `msid_tpu.training.perceptual`)."""
     mse = mse_loss(pred, target)
     total = cfg.mse_weight * mse
     aux = {"mse": mse}
@@ -150,7 +163,12 @@ def combined_loss(
         aux["ssim_loss"] = s
         total = total + cfg.ssim_weight * s
     if cfg.perceptual_weight > 0:
-        p = edge_perceptual_loss(pred, target)
+        if vgg_params is not None:
+            from msid_tpu.training.perceptual import vgg_perceptual_loss
+
+            p = vgg_perceptual_loss(vgg_params, pred, target)
+        else:
+            p = edge_perceptual_loss(pred, target)
         aux["perceptual"] = p
         total = total + cfg.perceptual_weight * p
     aux["total"] = total

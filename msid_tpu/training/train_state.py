@@ -25,7 +25,7 @@ from flax import struct
 
 from msid_tpu.ops.metrics import batch_metric_sums
 from msid_tpu.ops.noise import NoiseConfig, corrupt
-from msid_tpu.ops.preprocess import preprocess_tiles
+from msid_tpu.ops.preprocess import preprocess_tiles, random_band_permutation
 from msid_tpu.training.losses import (
     LossConfig,
     combined_loss,
@@ -120,6 +120,8 @@ def make_train_step(
     data_axis: str = "data",
     donate: bool = False,
     noise_impl: str = "jnp",
+    band_permutation_prob: float = 0.0,
+    vgg_params: dict | None = None,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -150,7 +152,7 @@ def make_train_step(
         else:
             out = model.apply(variables, noisy.astype(compute_dtype), train=True)
             new_stats = batch_stats
-        loss, aux = combined_loss(out, clean, loss_cfg)
+        loss, aux = combined_loss(out, clean, loss_cfg, vgg_params=vgg_params)
         return loss, (new_stats, aux)
 
     grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
@@ -160,6 +162,15 @@ def make_train_step(
             clean = preprocess_tiles(batch, image_size)
         else:
             clean = batch.astype(jnp.float32)
+        if band_permutation_prob > 0.0:
+            # Spectral augmentation (reference RandomBandPermutation,
+            # transforms.py:166-187): permute the TARGET too — the model
+            # learns band-order-equivariant denoising, and the corruption
+            # below acts on the permuted clean image.
+            perm_key, key = jax.random.split(key)
+            clean = random_band_permutation(
+                perm_key, clean, prob=band_permutation_prob
+            )
         noisy = corrupt(key, clean, noise_cfg, impl=noise_impl)
 
         n = clean.shape[0]
@@ -241,6 +252,7 @@ def make_eval_step(
     mesh=None,
     data_axis: str = "data",
     noise_impl: str = "jnp",
+    vgg_params: dict | None = None,
 ) -> Callable:
     """Jitted eval step: corrupt deterministically (per-batch key), forward
     in eval mode, return on-device metric sums + loss sum. Never syncs.
@@ -267,7 +279,8 @@ def make_eval_step(
         out = model.apply(variables, noisy.astype(compute_dtype), train=False)
         out = out.astype(jnp.float32)
         mask = (jnp.arange(clean.shape[0]) < count).astype(jnp.float32)
-        loss_ps = combined_loss_per_sample(out, clean, loss_cfg)
+        loss_ps = combined_loss_per_sample(out, clean, loss_cfg,
+                                           vgg_params=vgg_params)
         sums = batch_metric_sums(out, clean, mask=mask)
         sums["loss"] = jnp.sum(loss_ps * mask)
         return sums

@@ -121,14 +121,27 @@ class Trainer:
         # reused for the new state instead of copied. The old state object
         # is invalid after each step — the Trainer always replaces
         # self.state, so nothing else may hold it.
+        # Perceptual-loss implementation: the reference's VGG16 feature MSE
+        # when usable weights are configured, else the Sobel edge stand-in.
+        vgg_params = None
+        if self.loss_cfg.perceptual_weight > 0:
+            from msid_tpu.training.perceptual import resolve_perceptual
+
+            _, vgg_params = resolve_perceptual(training.get("loss", {}))
+
+        augment = training.get("augment", {})
         self.train_step = train_step or make_train_step(
             model, tx, self.loss_cfg, self.noise_cfg,
             accum_steps=accum, image_size=image_size, noise_impl=noise_impl,
             donate=True, mesh=self.mesh,
+            band_permutation_prob=float(
+                augment.get("band_permutation_prob", 0.0)
+            ),
+            vgg_params=vgg_params,
         )
         self.eval_step = eval_step or make_eval_step(
             model, self.loss_cfg, self.noise_cfg, image_size=image_size,
-            noise_impl=noise_impl, mesh=self.mesh,
+            noise_impl=noise_impl, mesh=self.mesh, vgg_params=vgg_params,
         )
 
         es = config.get("early_stopping", {})

@@ -81,6 +81,27 @@ def test_synthetic_dataset_deterministic():
     assert not np.array_equal(ds[0], ds2[0])
 
 
+def test_synthetic_rich_tiles():
+    rich = SyntheticEuroSAT(num_samples=20, split="train", seed=7,
+                            complexity="rich")
+    a = rich[0]
+    assert np.array_equal(a, rich[0])  # deterministic per (seed, index)
+    assert a.shape == (64, 64, 13) and a.dtype == np.float32
+    assert 0 <= a.min() and a.max() <= 10000
+    base = SyntheticEuroSAT(num_samples=20, split="train", seed=7)
+    assert not np.array_equal(a, base[0])
+    # class-segmentation structure: rich tiles have markedly heavier
+    # strong-edge tails than one smooth field with texture
+    def edge_q99(tile):
+        g = np.abs(np.diff(tile[..., 3] / 10000.0, axis=0))
+        return np.quantile(g, 0.99)
+    q_rich = np.mean([edge_q99(rich[i]) for i in range(8)])
+    q_base = np.mean([edge_q99(base[i]) for i in range(8)])
+    assert q_rich > q_base
+    with pytest.raises(ValueError, match="complexity"):
+        SyntheticEuroSAT(num_samples=4, complexity="extreme")
+
+
 def test_batch_loader_shapes_and_determinism():
     ds = SyntheticEuroSAT(num_samples=50, split="train", seed=0)
     loader = BatchLoader(ds, batch_size=8, shuffle=True, drop_last=True, seed=1)

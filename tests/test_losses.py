@@ -104,3 +104,126 @@ def test_bf16_inputs_fp32_loss(pair):
     assert total.dtype == jnp.float32
     ref, _ = combined_loss(noisy, clean)
     assert float(total) == pytest.approx(float(ref), rel=2e-2)
+
+
+# ---------------- VGG16 perceptual (reference losses.py:205-277) ---------
+
+
+def _torch_vgg16_features(params):
+    """Plain-torch replica of torchvision vgg16().features through relu4_3,
+    loaded with the SAME weights (HWIO → OIHW), as the golden reference."""
+    import torch
+    from torch import nn
+
+    from msid_tpu.training.perceptual import VGG16_CHANNELS, VGG16_CONV_IDS
+
+    modules = []
+    cin = 3
+    conv_iter = iter(zip(VGG16_CONV_IDS, VGG16_CHANNELS))
+    next_conv, next_c = next(conv_iter)
+    for idx in range(23):
+        if idx == next_conv:
+            conv = nn.Conv2d(cin, next_c, 3, padding=1)
+            w = params[f"features.{idx}.weight"]
+            conv.weight.data = torch.from_numpy(
+                np.ascontiguousarray(w.transpose(3, 2, 0, 1)))
+            conv.bias.data = torch.from_numpy(params[f"features.{idx}.bias"])
+            modules.append(conv)
+            cin = next_c
+            next_conv, next_c = next(conv_iter, (None, None))
+        elif idx in (4, 9, 16):
+            modules.append(nn.MaxPool2d(2, 2))
+        else:
+            modules.append(nn.ReLU())
+    return torch.nn.Sequential(*modules).eval()
+
+
+def test_vgg_perceptual_golden_vs_torch():
+    import torch
+
+    from msid_tpu.training.perceptual import (
+        init_vgg16_params,
+        vgg_perceptual_loss,
+        vgg_perceptual_per_sample,
+    )
+
+    params = init_vgg16_params(seed=3)
+    rng = np.random.default_rng(0)
+    pred = rng.uniform(0, 1, (2, 32, 32, 13)).astype(np.float32)
+    target = np.clip(pred + rng.normal(0, 0.05, pred.shape), 0, 1).astype(
+        np.float32)
+
+    got = float(vgg_perceptual_loss(params, jnp.asarray(pred),
+                                    jnp.asarray(target)))
+
+    vgg = _torch_vgg16_features(params)
+    layer_ids = {3, 8, 15, 22}
+    want = 0.0
+    with torch.no_grad():
+        yp = torch.from_numpy(pred[..., :3].transpose(0, 3, 1, 2))
+        yt = torch.from_numpy(target[..., :3].transpose(0, 3, 1, 2))
+        for idx, layer in enumerate(vgg):
+            yp, yt = layer(yp), layer(yt)
+            if idx in layer_ids:
+                want += float(torch.mean((yp - yt) ** 2))
+    assert got == pytest.approx(want, rel=2e-3)
+
+    # per-sample decomposition: mean equals the scalar
+    ps = vgg_perceptual_per_sample(params, jnp.asarray(pred),
+                                   jnp.asarray(target))
+    assert ps.shape == (2,)
+    assert float(jnp.mean(ps)) == pytest.approx(got, rel=1e-5)
+
+
+def test_resolve_perceptual_and_npz_roundtrip(tmp_path):
+    from msid_tpu.training.perceptual import (
+        init_vgg16_params,
+        load_vgg16_weights,
+        resolve_perceptual,
+    )
+
+    assert resolve_perceptual({}) == ("edge", None)
+    impl, p = resolve_perceptual(
+        {"perceptual_impl": "vgg", "perceptual_weights_path": "/nope.npz"})
+    assert impl == "edge" and p is None  # graceful fallback, like the ref
+    with pytest.raises(ValueError, match="perceptual_impl"):
+        resolve_perceptual({"perceptual_impl": "resnet"})
+
+    params = init_vgg16_params(seed=1)
+    path = tmp_path / "vgg.npz"
+    np.savez(path, **params)
+    impl, loaded = resolve_perceptual(
+        {"perceptual_impl": "vgg", "perceptual_weights_path": str(path)})
+    assert impl == "vgg"
+    for k, v in params.items():
+        np.testing.assert_array_equal(np.asarray(loaded[k]), v)
+
+    # torch OIHW state_dict form loads too (kernels transposed back)
+    oihw = {
+        k: (v.transpose(3, 2, 0, 1) if v.ndim == 4 else v)
+        for k, v in params.items()
+    }
+    import torch
+
+    pth = tmp_path / "vgg.pth"
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in oihw.items()}, pth)
+    loaded2 = load_vgg16_weights(pth)
+    for k, v in params.items():
+        np.testing.assert_array_equal(loaded2[k], v)
+
+
+def test_combined_loss_vgg_path(pair):
+    from msid_tpu.training.perceptual import init_vgg16_params
+
+    clean, noisy = pair
+    params = init_vgg16_params(seed=0)
+    cfg = LossConfig(perceptual_weight=0.5, ssim_weight=0.0)
+    total_vgg, aux = combined_loss(noisy, clean, cfg, vgg_params=params)
+    total_edge, _ = combined_loss(noisy, clean, cfg)
+    assert "perceptual" in aux
+    assert float(total_vgg) != float(total_edge)
+    from msid_tpu.training.losses import combined_loss_per_sample
+
+    ps = combined_loss_per_sample(noisy, clean, cfg, vgg_params=params)
+    assert float(jnp.mean(ps)) == pytest.approx(float(total_vgg), rel=1e-5)

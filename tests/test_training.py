@@ -171,6 +171,29 @@ def test_train_step_runs_and_decreases_loss(model_and_vars):
     assert np.isfinite(losses).all()
 
 
+def test_band_permutation_augmented_step(model_and_vars):
+    """band_permutation_prob wires the spectral augmentation into the
+    jitted step: the step still trains, and with prob=1 the corrupted
+    input differs from the unaugmented run while staying finite."""
+    model, variables = model_and_vars
+    tx = build_optimizer(optax.constant_schedule(1e-3), params=variables["params"])
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(rng.uniform(0, 10000, (4, 64, 64, 13)).astype(np.float32))
+
+    losses = {}
+    for prob in (0.0, 1.0):
+        state = TrainState.create(variables, tx)
+        step = make_train_step(
+            model, tx, LossConfig(ssim_weight=0.0), NoiseConfig(),
+            accum_steps=1, image_size=64, band_permutation_prob=prob,
+        )
+        state, m = step(state, batch, jax.random.PRNGKey(7))
+        assert np.isfinite(float(m["loss"]))
+        losses[prob] = float(m["loss"])
+    # prob=1 consumed a split key + permuted bands → different loss value
+    assert losses[0.0] != losses[1.0]
+
+
 def test_grad_accum_equivalence():
     """accum=4 over batch 4 must match accum=1 over the same batch
     (mean-of-micro-grads == full-batch grad for mean losses).
