@@ -182,6 +182,7 @@ def restore_scene(
     progress: Optional[callable] = None,
     step: Optional[callable] = None,
     device_assembly: bool = False,
+    output_dtype=np.float32,
 ) -> np.ndarray:
     """Denoise a full [H, W, C] scene; returns fp32 [H, W, C] in model range
     (use `msid_tpu.ops.preprocess.from_model_range` for reflectance).
@@ -200,6 +201,15 @@ def restore_scene(
             restored scene once. Removes the per-batch host↔device tile
             traffic (the bottleneck on relayed transports) at the cost of
             scene + two accumulators in HBM (fp32: ~3x the scene size).
+            The upload keeps the scene's native dtype (uint16 Sentinel-2
+            DN ships 2x fewer bytes than fp32; the uint16→fp32 cast on
+            device is exact, so results are bit-identical).
+        output_dtype: dtype of the returned scene. The residual cost of
+            the device path is the once-per-scene relay transfers;
+            ``np.float16`` halves the download at ~3 decimal digits of
+            precision (model range ≈[-2,2] — well above the 41.5 dB
+            quality bar, but not bit-identical to fp32). The cast runs
+            on device so the relay carries the narrow dtype.
     """
     if not 0 <= overlap < window:
         raise ValueError(f"overlap ({overlap}) must be in [0, window={window})")
@@ -234,7 +244,10 @@ def restore_scene(
         if step is None:
             step = make_device_scene_step(model, variables, window,
                                           model_size, overlap)
-        dev_scene = jnp.asarray(np.asarray(scene, np.float32))
+        # Native-dtype upload: integer scenes (uint16 Sentinel-2 DN) ship
+        # 2x fewer bytes through the relay than fp32; the device pipeline
+        # casts exactly in normalize_raw.
+        dev_scene = jnp.asarray(scene)
         out_sum_d = jnp.zeros((h, w, c), jnp.float32)
         w_sum_d = jnp.zeros((h, w, 1), jnp.float32)
         all_origins = np.asarray(origins, np.int32)
@@ -253,7 +266,8 @@ def restore_scene(
             )
             if progress:
                 progress(i, len(origins))
-        return np.asarray(out_sum_d / w_sum_d)[:h0, :w0]
+        out = (out_sum_d / w_sum_d).astype(jnp.dtype(output_dtype))
+        return np.asarray(out)[:h0, :w0]
 
     if step is None:
         step = make_scene_step(model, variables, window, model_size)
@@ -281,7 +295,7 @@ def restore_scene(
     while pending:
         _drain(pending.pop(0), out_sum, w_sum, weights, window)
 
-    return (out_sum / w_sum)[:h0, :w0]
+    return (out_sum / w_sum)[:h0, :w0].astype(output_dtype, copy=False)
 
 
 def _drain(entry, out_sum, w_sum, weights, window):

@@ -296,3 +296,43 @@ def test_restore_scene_device_assembly_matches_host(model_and_vars):
                         device_assembly=True)
     assert dev.shape == scene.shape and np.isfinite(dev).all()
     np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-4)
+
+
+def test_restore_scene_native_dtype_upload_bit_identical(model_and_vars):
+    """A uint16 scene (raw Sentinel-2 DN, 2x fewer relay bytes than fp32)
+    must produce results bit-identical to uploading the same values as
+    fp32 — the uint16→fp32 cast in normalize_raw is exact."""
+    from msid_tpu.deployment.sliding_window import restore_scene
+
+    model, variables = model_and_vars
+    rng = np.random.default_rng(7)
+    scene_u16 = rng.integers(0, 10000, (96, 112, 13), dtype=np.uint16)
+
+    as_f32 = restore_scene(model, variables, scene_u16.astype(np.float32),
+                           window=64, overlap=16, model_size=64,
+                           batch_size=3, device_assembly=True)
+    as_u16 = restore_scene(model, variables, scene_u16,
+                           window=64, overlap=16, model_size=64,
+                           batch_size=3, device_assembly=True)
+    np.testing.assert_array_equal(as_u16, as_f32)
+
+
+def test_restore_scene_output_dtype(model_and_vars):
+    """output_dtype=float16 halves the scene download; values must round
+    to the fp32 result within half-precision ulp, on both paths."""
+    from msid_tpu.deployment.sliding_window import restore_scene
+
+    model, variables = model_and_vars
+    rng = np.random.default_rng(9)
+    scene = rng.uniform(0, 10000, (96, 96, 13)).astype(np.float32)
+
+    kwargs = dict(window=64, overlap=16, model_size=64, batch_size=3)
+    for device_assembly in (False, True):
+        full = restore_scene(model, variables, scene,
+                             device_assembly=device_assembly, **kwargs)
+        half = restore_scene(model, variables, scene,
+                             device_assembly=device_assembly,
+                             output_dtype=np.float16, **kwargs)
+        assert half.dtype == np.float16
+        # model range ≈[-2,2]: fp16 relative error 2^-11 → atol ~2e-3
+        np.testing.assert_allclose(half, full, atol=4e-3)
