@@ -51,7 +51,7 @@ def main():
         mgr = CheckpointManager(args.checkpoint)
         out = mgr.load_best(target=TrainState.create(variables, tx))
         if out:
-            variables = out[0].variables
+            variables = out[0].eval_variables  # EMA shadow when enabled
             print(f"restored best checkpoint (step {out[2]})")
 
     # -- 1. metric evaluation ------------------------------------------

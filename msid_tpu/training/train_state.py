@@ -39,9 +39,14 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     nan_skips: jnp.ndarray  # cumulative skipped optimizer updates
+    # Exponential moving average of params (None = disabled). Evaluated /
+    # served weights when enabled; lives in the state pytree so it rides
+    # mesh placement, donation, and checkpoints like everything else.
+    ema_params: Any = None
 
     @classmethod
-    def create(cls, variables: dict, tx: optax.GradientTransformation) -> "TrainState":
+    def create(cls, variables: dict, tx: optax.GradientTransformation,
+               ema: bool = False) -> "TrainState":
         params = variables["params"]
         return cls(
             step=jnp.zeros((), jnp.int32),
@@ -49,11 +54,22 @@ class TrainState(struct.PyTreeNode):
             batch_stats=variables.get("batch_stats", {}),
             opt_state=tx.init(params),
             nan_skips=jnp.zeros((), jnp.int32),
+            ema_params=jax.tree_util.tree_map(jnp.copy, params) if ema else None,
         )
 
     @property
     def variables(self) -> dict:
         v = {"params": self.params}
+        if self.batch_stats:
+            v["batch_stats"] = self.batch_stats
+        return v
+
+    @property
+    def eval_variables(self) -> dict:
+        """Weights to evaluate/serve: the EMA shadow when enabled (it
+        generalizes better late in training), else the live params."""
+        v = {"params": self.ema_params if self.ema_params is not None
+             else self.params}
         if self.batch_stats:
             v["batch_stats"] = self.batch_stats
         return v
@@ -122,6 +138,7 @@ def make_train_step(
     noise_impl: str = "jnp",
     band_permutation_prob: float = 0.0,
     vgg_params: dict | None = None,
+    ema_decay: float = 0.0,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -207,12 +224,26 @@ def make_train_step(
         updates, new_opt_state = tx.update(safe_grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
+        ema = state.ema_params
+        if ema_decay > 0.0:
+            if ema is None:
+                raise ValueError(
+                    "ema_decay > 0 needs TrainState.create(..., ema=True)"
+                )
+            # ema += (1-d)·(p - ema), fp32, on the *updated* params; a
+            # skipped (non-finite) step leaves the shadow untouched too.
+            stepped = jax.tree_util.tree_map(
+                lambda e, p: e + (1.0 - ema_decay) * (p - e), ema, new_params
+            )
+            ema = _tree_where(finite, stepped, ema)
+
         new_state = state.replace(
             step=state.step + jnp.where(finite, 1, 0),
             params=_tree_where(finite, new_params, state.params),
             opt_state=_tree_where(finite, new_opt_state, state.opt_state),
             batch_stats=_tree_where(finite, new_stats, state.batch_stats),
             nan_skips=state.nan_skips + jnp.where(finite, 0, 1),
+            ema_params=ema,
         )
         metrics = {
             "loss": loss,

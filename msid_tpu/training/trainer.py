@@ -96,6 +96,18 @@ class Trainer:
         if noise_impl == "auto":
             noise_impl = default_noise_impl()
 
+        # EMA of params (additive over the reference; opt-in). The shadow
+        # must exist in the state BEFORE mesh placement so it is
+        # replicated/sharded with everything else.
+        self.ema_decay = float(training.get("ema_decay", 0.0))
+        if self.ema_decay > 0.0 and self.state.ema_params is None:
+            self.state = self.state.replace(
+                ema_params=jax.tree_util.tree_map(jnp.copy, self.state.params)
+            )
+            logger.info("EMA of params enabled (decay %.5g); validation and "
+                        "best-model tracking use the shadow weights",
+                        self.ema_decay)
+
         # Mesh data parallelism (SURVEY §5.8 — additive over the reference):
         # batch sharded over the 'data' axis, state replicated, gradient
         # all-reduce compiled by XLA. Enabled when >1 device is visible
@@ -138,6 +150,7 @@ class Trainer:
                 augment.get("band_permutation_prob", 0.0)
             ),
             vgg_params=vgg_params,
+            ema_decay=self.ema_decay,
         )
         self.eval_step = eval_step or make_eval_step(
             model, self.loss_cfg, self.noise_cfg, image_size=image_size,
@@ -280,7 +293,7 @@ class Trainer:
             batches = mesh_sized()
 
         results = run_eval_loop(
-            self.eval_step, self.state.variables, batches,
+            self.eval_step, self.state.eval_variables, batches,
             jax.random.PRNGKey(self.eval_seed), place=self._place_batch,
         )
         results.pop("num_samples", None)

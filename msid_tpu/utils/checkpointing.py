@@ -111,6 +111,10 @@ class CheckpointManager:
         if self.moments_dtype and hasattr(state, "opt_state"):
             state = _cast_moments(state, self.moments_dtype)
             metadata["_moments_dtype"] = str(self.moments_dtype)
+        if hasattr(state, "ema_params"):
+            # Recorded so restore can adapt a target built without (or
+            # with) the EMA shadow — old checkpoints simply lack the key.
+            metadata["_has_ema"] = state.ema_params is not None
 
         if not self.background_transfer:
             args = ocp.args.Composite(
@@ -171,12 +175,40 @@ class CheckpointManager:
             # The on-disk moments are low-precision; restore into a
             # matching-dtype target, then cast back up to the caller's.
             restore_target = _cast_moments(target, saved_dtype)
+
+        # EMA-shadow structure adaptation: a checkpoint written with
+        # training.ema_decay > 0 carries an `ema_params` subtree; targets
+        # built by evaluate/export (TrainState.create without ema) don't —
+        # and vice versa for resuming a pre-EMA checkpoint into an
+        # EMA-enabled run (the shadow is then re-seeded from the restored
+        # params below).
+        reseed_ema = False
+        saved_has_ema = (meta or {}).get("_has_ema", False)
+        if restore_target is not None and hasattr(restore_target, "ema_params"):
+            if saved_has_ema and restore_target.ema_params is None:
+                import jax
+
+                restore_target = restore_target.replace(
+                    ema_params=jax.tree.map(lambda x: x, restore_target.params)
+                )
+            elif not saved_has_ema and restore_target.ema_params is not None:
+                restore_target = restore_target.replace(ema_params=None)
+                reseed_ema = True
         args = ocp.args.Composite(
             state=ocp.args.StandardRestore(restore_target)
             if restore_target is not None
             else ocp.args.StandardRestore(),
         )
         state = self._mgr.restore(step, args=args)["state"]
+        if reseed_ema:
+            import jax
+            import jax.numpy as jnp
+
+            state = state.replace(
+                ema_params=jax.tree.map(jnp.copy, state.params)
+            )
+            logger.info("checkpoint predates EMA — shadow re-seeded from "
+                        "the restored params")
         if target is not None and saved_dtype:
             import jax
             import jax.numpy as jnp

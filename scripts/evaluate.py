@@ -73,7 +73,9 @@ def main():
         if out is None:
             raise FileNotFoundError(f"No checkpoint found under {args.checkpoint}")
         state, _, step = out
-        variables = state.variables
+        # eval_variables = the EMA shadow when the run trained with
+        # training.ema_decay > 0 (what the trainer validated with).
+        variables = state.eval_variables
         logger.info("Restored checkpoint step %d from %s", step, args.checkpoint)
 
     _, val_loader = get_dataloaders(config)

@@ -85,7 +85,8 @@ def main():
         out = mgr.load_best(target=target) or mgr.load_latest(target=target)
         if out is None:
             raise FileNotFoundError(f"No checkpoint under {args.checkpoint}")
-        variables = out[0].variables
+        # EMA runs serve the shadow weights (same choice as evaluate).
+        variables = out[0].eval_variables
         logger.info("Restored checkpoint from %s", args.checkpoint)
 
     export_cfg = deploy_cfg.get("export", {})

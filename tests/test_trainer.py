@@ -109,6 +109,58 @@ def test_compact_background_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(po), np.asarray(pr))
 
 
+def test_ema_trainer_checkpoint_adaptation(tmp_path):
+    """An EMA run's checkpoint restores into (a) another EMA trainer
+    (shadow round-trips bit-exactly) and (b) a plain evaluate/export-style
+    target without the field (eval_variables serves the saved shadow);
+    and a pre-EMA checkpoint resumes into an EMA run with the shadow
+    re-seeded from the restored params."""
+    ema_cfg = dict(CONFIG, training=dict(CONFIG["training"], ema_decay=0.9))
+    mgr = CheckpointManager(tmp_path / "a", metric="val_psnr", save_every=1)
+    trainer = _make_trainer(config=ema_cfg, manager=mgr)
+    trainer.fit(_loader(2), _loader(1, seed=9), epochs=1)
+    mgr.wait_until_finished()
+    assert trainer.state.ema_params is not None
+    # the shadow lags the live params after a few updates
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(trainer.state.params),
+                        jax.tree.leaves(trainer.state.ema_params))
+    )
+
+    # (a) EMA trainer resumes: shadow bit-exact
+    trainer2 = _make_trainer(config=ema_cfg,
+                             manager=CheckpointManager(tmp_path / "a"))
+    assert trainer2.load_checkpoint() == 1
+    for a, b in zip(jax.tree.leaves(trainer.state.ema_params),
+                    jax.tree.leaves(trainer2.state.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # (b) plain target (evaluate/export path): the shadow is restored and
+    # eval_variables serves it
+    plain = _make_trainer(manager=None)  # ema off: state.ema_params is None
+    out = CheckpointManager(tmp_path / "a").load_latest(target=plain.state)
+    assert out is not None
+    restored = out[0]
+    assert restored.ema_params is not None
+    assert restored.eval_variables["params"] is restored.ema_params
+    for a, b in zip(jax.tree.leaves(trainer.state.ema_params),
+                    jax.tree.leaves(restored.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # (c) pre-EMA checkpoint → EMA-enabled run: shadow re-seeded from params
+    mgr_b = CheckpointManager(tmp_path / "b", metric="val_psnr", save_every=1)
+    pre = _make_trainer(manager=mgr_b)  # no EMA
+    pre.fit(_loader(2), _loader(1, seed=9), epochs=1)
+    mgr_b.wait_until_finished()
+    resumed = _make_trainer(config=ema_cfg,
+                            manager=CheckpointManager(tmp_path / "b"))
+    assert resumed.load_checkpoint() == 1
+    for p, e in zip(jax.tree.leaves(resumed.state.params),
+                    jax.tree.leaves(resumed.state.ema_params)):
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(e))
+
+
 def test_validate_padded_loader_single_compile():
     """A padded trailing val batch (pad_last tuples) must reuse the one
     compiled eval executable and average over only the real samples."""

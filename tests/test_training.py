@@ -241,6 +241,70 @@ def test_nan_guard_skips_update(model_and_vars):
     assert np.isfinite(float(m2["loss"]))
 
 
+def test_ema_shadow_tracks_params(model_and_vars):
+    """ema += (1-d)(p - e) on the updated params each finite step; the
+    shadow must match a host-side replay of the params trajectory, and
+    eval_variables must serve it."""
+    model, variables = model_and_vars
+    tx = build_optimizer(optax.constant_schedule(1e-3), params=variables["params"])
+    state = TrainState.create(variables, tx, ema=True)
+    decay = 0.9
+    step = make_train_step(
+        model, tx, LossConfig(ssim_weight=0.0), NoiseConfig(),
+        accum_steps=1, image_size=64, ema_decay=decay,
+    )
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(rng.uniform(0, 10000, (2, 64, 64, 13)).astype(np.float32))
+
+    expect = jax.device_get(state.params)
+    for i in range(3):
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+        p = jax.device_get(state.params)
+        expect = jax.tree_util.tree_map(
+            lambda e, q: e + (1.0 - decay) * (q - e), expect, p
+        )
+    got = jax.device_get(state.ema_params)
+    for e, g in zip(jax.tree_util.tree_leaves(expect),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(g, e, rtol=1e-6, atol=1e-7)
+    # the shadow lags the live params (they moved for 3 steps)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(state.ema_params))
+    )
+    assert state.eval_variables["params"] is state.ema_params
+
+
+def test_ema_untouched_on_skipped_step(model_and_vars):
+    model, variables = model_and_vars
+    tx = build_optimizer(optax.constant_schedule(1e-3), params=variables["params"])
+    state = TrainState.create(variables, tx, ema=True)
+    step = make_train_step(
+        model, tx, LossConfig(ssim_weight=0.0), NoiseConfig(),
+        accum_steps=1, image_size=64, ema_decay=0.99,
+    )
+    bad = jnp.full((2, 64, 64, 13), jnp.nan, jnp.float32)
+    new_state, metrics = step(state, bad, jax.random.PRNGKey(0))
+    assert int(metrics["skipped"]) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(state.ema_params),
+                    jax.tree_util.tree_leaves(new_state.ema_params)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ema_requires_shadow(model_and_vars):
+    model, variables = model_and_vars
+    tx = build_optimizer(optax.constant_schedule(1e-3), params=variables["params"])
+    state = TrainState.create(variables, tx)  # no shadow
+    step = make_train_step(
+        model, tx, LossConfig(ssim_weight=0.0), NoiseConfig(),
+        accum_steps=1, image_size=64, ema_decay=0.99,
+    )
+    batch = jnp.zeros((2, 64, 64, 13), jnp.float32)
+    with pytest.raises(ValueError, match="ema"):
+        step(state, batch, jax.random.PRNGKey(0))
+
+
 def test_eval_step_sums(model_and_vars):
     model, variables = model_and_vars
     eval_step = make_eval_step(model, LossConfig(), NoiseConfig(), image_size=64)
