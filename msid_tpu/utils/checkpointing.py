@@ -181,8 +181,12 @@ class CheckpointManager:
         # built by evaluate/export (TrainState.create without ema) don't —
         # and vice versa for resuming a pre-EMA checkpoint into an
         # EMA-enabled run (the shadow is then re-seeded from the restored
-        # params below).
+        # params below). Checkpoints written before the field existed lack
+        # the `ema_params` tree entry entirely (and the `_has_ema`
+        # metadata key), so they restore through a name-matched field dict
+        # without it — Orbax matches pytree keys by name, not container.
         reseed_ema = False
+        legacy_no_ema = False
         saved_has_ema = (meta or {}).get("_has_ema", False)
         if restore_target is not None and hasattr(restore_target, "ema_params"):
             if saved_has_ema and restore_target.ema_params is None:
@@ -191,15 +195,35 @@ class CheckpointManager:
                 restore_target = restore_target.replace(
                     ema_params=jax.tree.map(lambda x: x, restore_target.params)
                 )
-            elif not saved_has_ema and restore_target.ema_params is not None:
-                restore_target = restore_target.replace(ema_params=None)
-                reseed_ema = True
-        args = ocp.args.Composite(
-            state=ocp.args.StandardRestore(restore_target)
-            if restore_target is not None
-            else ocp.args.StandardRestore(),
-        )
-        state = self._mgr.restore(step, args=args)["state"]
+            elif not saved_has_ema:
+                reseed_ema = restore_target.ema_params is not None
+                if "_has_ema" in (meta or {}):
+                    # EMA-era checkpoint saved with the shadow disabled:
+                    # the tree entry exists on disk as an empty node.
+                    restore_target = restore_target.replace(ema_params=None)
+                else:
+                    legacy_no_ema = True
+
+        if legacy_no_ema:
+            import dataclasses
+
+            fields = {
+                f.name: getattr(restore_target, f.name)
+                for f in dataclasses.fields(restore_target)
+                if f.name != "ema_params"
+            }
+            restored = self._mgr.restore(
+                step,
+                args=ocp.args.Composite(state=ocp.args.StandardRestore(fields)),
+            )["state"]
+            state = restore_target.replace(**restored, ema_params=None)
+        else:
+            args = ocp.args.Composite(
+                state=ocp.args.StandardRestore(restore_target)
+                if restore_target is not None
+                else ocp.args.StandardRestore(),
+            )
+            state = self._mgr.restore(step, args=args)["state"]
         if reseed_ema:
             import jax
             import jax.numpy as jnp

@@ -25,6 +25,9 @@ def parse_args():
     p.add_argument("--output-dir", type=str, default="outputs")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--device", type=str, default=None, help="jax platform override (tpu/cpu)")
+    p.add_argument("--raw-weights", action="store_true",
+                   help="evaluate the live params even when the checkpoint "
+                        "carries an EMA shadow (EMA-vs-live ablation)")
     return p.parse_args()
 
 
@@ -74,8 +77,11 @@ def main():
             raise FileNotFoundError(f"No checkpoint found under {args.checkpoint}")
         state, _, step = out
         # eval_variables = the EMA shadow when the run trained with
-        # training.ema_decay > 0 (what the trainer validated with).
-        variables = state.eval_variables
+        # training.ema_decay > 0 (what the trainer validated with);
+        # --raw-weights forces the live params for EMA-vs-live ablations.
+        variables = state.variables if args.raw_weights else state.eval_variables
+        if args.raw_weights and state.ema_params is not None:
+            logger.info("--raw-weights: evaluating live params, not the EMA shadow")
         logger.info("Restored checkpoint step %d from %s", step, args.checkpoint)
 
     _, val_loader = get_dataloaders(config)

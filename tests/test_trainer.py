@@ -161,6 +161,54 @@ def test_ema_trainer_checkpoint_adaptation(tmp_path):
         np.testing.assert_array_equal(np.asarray(p), np.asarray(e))
 
 
+def test_legacy_checkpoint_without_ema_field_restores(tmp_path):
+    """Checkpoints written before TrainState grew `ema_params` have no such
+    tree entry on disk (and no `_has_ema` metadata). They must restore into
+    today's TrainState — both a plain target (evaluate/export) and an
+    EMA-enabled resume (shadow re-seeded from the restored params)."""
+    import orbax.checkpoint as ocp
+
+    trainer = _make_trainer()
+    trainer.fit(_loader(2), _loader(1, seed=9), epochs=1)
+
+    # Write the checkpoint the way the pre-EMA code did: the state tree is
+    # the field dict without `ema_params`, metadata without `_has_ema`
+    # (Orbax matches pytree entries by name, not container type).
+    legacy_fields = {
+        "step": trainer.state.step,
+        "params": trainer.state.params,
+        "batch_stats": trainer.state.batch_stats,
+        "opt_state": trainer.state.opt_state,
+        "nan_skips": trainer.state.nan_skips,
+    }
+    mgr = CheckpointManager(tmp_path, metric="val_psnr", save_every=1)
+    mgr._mgr.save(1, args=ocp.args.Composite(
+        state=ocp.args.StandardSave(legacy_fields),
+        metadata=ocp.args.JsonSave({"epoch": 1}),
+    ))
+    mgr.wait_until_finished()
+
+    # (a) plain target — the failing path before the fix
+    plain = _make_trainer(manager=None)
+    out = CheckpointManager(tmp_path).load_latest(target=plain.state)
+    assert out is not None
+    restored = out[0]
+    assert restored.ema_params is None
+    for a, b in zip(jax.tree.leaves(trainer.state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # (b) EMA-enabled resume: shadow re-seeded from the restored params
+    ema_cfg = dict(CONFIG, training=dict(CONFIG["training"], ema_decay=0.9))
+    resumed = _make_trainer(config=ema_cfg,
+                            manager=CheckpointManager(tmp_path))
+    assert resumed.load_checkpoint() == 1
+    assert resumed.state.ema_params is not None
+    for p, e in zip(jax.tree.leaves(resumed.state.params),
+                    jax.tree.leaves(resumed.state.ema_params)):
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(e))
+
+
 def test_validate_padded_loader_single_compile():
     """A padded trailing val batch (pad_last tuples) must reuse the one
     compiled eval executable and average over only the real samples."""
