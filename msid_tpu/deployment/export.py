@@ -124,6 +124,7 @@ def export_stablehlo(
     dynamic_batch: bool = True,
     int8_weights: bool = False,
     optimize: bool = False,
+    tta: int = 1,
 ) -> Path:
     """Serialize the inference fn + weights to an artifact directory.
 
@@ -140,6 +141,12 @@ def export_stablehlo(
     inference.FASTPATH_AUTO_MAX_BATCH); raises ``ValueError`` for model
     configs the fastpath does not support. Not combinable with
     ``int8_weights`` (the quantizer targets flax kernel names).
+
+    ``tta`` > 1 bakes a dihedral self-ensemble into the exported module
+    (`msid_tpu.ops.tta`): the artifact averages that many
+    rotated/flipped views per call. Composes with both ``optimize`` and
+    ``int8_weights``; recorded in meta.json so the parity comparator
+    ensembles its live side to match.
     """
     import json
 
@@ -166,10 +173,19 @@ def export_stablehlo(
             if np.issubdtype(np.asarray(a).dtype, np.floating) else np.asarray(a),
             host_fp32,
         )
-        infer = jax.jit(make_fast_inference_fn(model))
+        raw_infer = make_fast_inference_fn(model)
     else:
         host_fp32 = None
-        infer = jax.jit(make_inference_fn(model))
+        raw_infer = make_inference_fn(model)
+    if tta > 1:
+        from msid_tpu.ops.tta import dihedral_ensemble, orbit_prefix
+
+        orbit_prefix(tta, input_shape[1], input_shape[2])  # validate early
+        base_infer = raw_infer
+
+        def raw_infer(v, x, _base=base_infer):
+            return dihedral_ensemble(lambda z: _base(v, z), x, tta)
+    infer = jax.jit(raw_infer)
     if dynamic_batch:
         scope = jax_export.SymbolicScope()
         (b,) = jax_export.symbolic_shape("b", scope=scope)
@@ -207,6 +223,7 @@ def export_stablehlo(
     (out_dir / META_FILE).write_text(json.dumps({
         "optimized": bool(optimize),
         "dtype": np.dtype(compute_dtype).name,
+        "tta": int(tta),
     }))
 
     total_mb = sum(f.stat().st_size for f in out_dir.iterdir()) / 1e6
@@ -311,10 +328,23 @@ def compare_live_vs_exported(
     """Numerical parity live-model vs exported artifact (reference
     `compare_pytorch_onnx_outputs`, export_onnx.py:172-271: max/mean abs
     diff, cosine similarity, allclose rtol 1e-3 / atol 1e-5)."""
+    import json
+
     x = jax.random.uniform(
         jax.random.PRNGKey(seed), input_shape, jnp.float32, minval=-2.0, maxval=2.0
     )
-    live = np.asarray(jax.jit(make_inference_fn(model))(variables, x))
+    live_fn = make_inference_fn(model)
+    meta_path = Path(path) / META_FILE
+    meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+    tta = int(meta.get("tta", 1))
+    if tta > 1:  # artifact bakes a dihedral ensemble; match it live
+        from msid_tpu.ops.tta import dihedral_ensemble
+
+        base_fn = live_fn
+
+        def live_fn(v, z, _base=base_fn):
+            return dihedral_ensemble(lambda t: _base(v, t), z, tta)
+    live = np.asarray(jax.jit(live_fn)(variables, x))
     deployed = np.asarray(load_exported(path)(x))
 
     diff = np.abs(live - deployed)

@@ -47,6 +47,7 @@ class InferenceSession:
         donate_input: bool = False,
         optimize: bool | str = "auto",
         mesh=None,
+        tta: int = 1,
     ):
         """Build from a live (model, variables) pair or an exported artifact.
 
@@ -72,6 +73,12 @@ class InferenceSession:
         ICI — no per-chip Python dispatch. ``batch_size`` must divide
         evenly by the data-axis size. Not supported with
         ``artifact_path`` (a serialized module has no mesh).
+
+        ``tta`` > 1 self-ensembles each prediction over that many
+        dihedral views of the input (`msid_tpu.ops.tta`): one fused XLA
+        program, ~``tta`` x the FLOPs, a free quality bump on top of any
+        graph choice. Needs model+variables (serialized artifacts bake
+        their own graph).
         """
         self.batch_size = batch_size
         self.image_size = image_size
@@ -81,9 +88,13 @@ class InferenceSession:
         self.input_shape = (batch_size, image_size, image_size, num_bands)
 
         self._input_sharding = None
+        self.tta = int(tta)
         if artifact_path is not None:
             if mesh is not None:
                 raise ValueError("mesh serving needs model+variables, "
+                                 "not a serialized artifact")
+            if self.tta > 1:
+                raise ValueError("tta ensembling needs model+variables, "
                                  "not a serialized artifact")
             self._fn = load_exported(artifact_path)
             self._compiled = None
@@ -117,6 +128,14 @@ class InferenceSession:
                 except ValueError:
                     if optimize is True:
                         raise
+            if self.tta > 1:
+                from msid_tpu.ops.tta import dihedral_ensemble, orbit_prefix
+
+                orbit_prefix(self.tta, image_size, image_size)  # validate early
+                base_infer = infer
+
+                def infer(v, x, _base=base_infer):
+                    return dihedral_ensemble(lambda z: _base(v, z), x, self.tta)
             donate = (1,) if donate_input else ()
             if mesh is not None:
                 from msid_tpu.parallel.mesh import batch_sharded, replicated

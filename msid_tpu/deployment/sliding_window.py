@@ -48,7 +48,7 @@ def _window_origins(size: int, window: int, stride: int) -> list:
 
 
 def _make_scene_forward(model, variables, window: int, model_size: int,
-                        optimize: bool | str):
+                        optimize: bool | str, tta: int = 1):
     """Select the per-batch forward (hybrid folded-BN graph when the model
     supports it, else `model.apply`) and return ``(variables, raw_step)``
     with ``raw_step(variables, batch)`` UNJITTED — callers jit it with
@@ -74,6 +74,15 @@ def _make_scene_forward(model, variables, window: int, model_size: int,
         def forward(variables, x):
             return model.apply(variables, x, train=False)
 
+    if tta > 1:
+        from msid_tpu.ops.tta import dihedral_ensemble, orbit_prefix
+
+        orbit_prefix(tta, model_size, model_size)  # validate early
+        base_forward = forward
+
+        def forward(variables, x, _base=base_forward):
+            return dihedral_ensemble(lambda z: _base(variables, z), x, tta)
+
     def raw_step(variables, batch):
         clean_in = preprocess_tiles(batch, model_size)
         out = forward(variables, clean_in).astype(jnp.float32)
@@ -88,7 +97,7 @@ def _make_scene_forward(model, variables, window: int, model_size: int,
 
 
 def make_scene_step(model, variables, window: int, model_size: int,
-                    optimize: bool | str = "auto"):
+                    optimize: bool | str = "auto", tta: int = 1):
     """Jitted per-batch pipeline: raw windows -> preprocess -> denoise ->
     back to native window resolution, in model range.
 
@@ -98,11 +107,14 @@ def make_scene_step(model, variables, window: int, model_size: int,
     ``optimize="auto"`` uses the hybrid inference graph (flax encoder +
     folded-BN decoder — deployment.fastpath, 58.2 vs 61.8 ms per batch of
     128 on v5e) when the model config supports it; scenes always run at
-    throughput batch sizes, so the small-batch fastpath never applies."""
+    throughput batch sizes, so the small-batch fastpath never applies.
+
+    ``tta`` > 1 self-ensembles each window over that many dihedral views
+    (`msid_tpu.ops.tta`) — ~``tta`` x the per-window FLOPs."""
     import functools
 
     variables, raw_step = _make_scene_forward(
-        model, variables, window, model_size, optimize
+        model, variables, window, model_size, optimize, tta=tta
     )
     fn = functools.partial(jax.jit(raw_step), variables)
     fn.assembly = "host"  # checked by restore_scene against device_assembly
@@ -110,7 +122,8 @@ def make_scene_step(model, variables, window: int, model_size: int,
 
 
 def make_device_scene_step(model, variables, window: int, model_size: int,
-                           overlap: int, optimize: bool | str = "auto"):
+                           overlap: int, optimize: bool | str = "auto",
+                           tta: int = 1):
     """Device-resident per-batch pipeline for :func:`restore_scene` with
     ``device_assembly=True``: gather a batch of windows out of the
     device-resident scene, denoise, and blend-accumulate into device
@@ -127,7 +140,7 @@ def make_device_scene_step(model, variables, window: int, model_size: int,
     import functools
 
     variables, raw_step = _make_scene_forward(
-        model, variables, window, model_size, optimize
+        model, variables, window, model_size, optimize, tta=tta
     )
     wts = jnp.asarray(_blend_weights(window, overlap))[:, :, None]
 
@@ -183,6 +196,7 @@ def restore_scene(
     step: Optional[callable] = None,
     device_assembly: bool = False,
     output_dtype=np.float32,
+    tta: int = 1,
 ) -> np.ndarray:
     """Denoise a full [H, W, C] scene; returns fp32 [H, W, C] in model range
     (use `msid_tpu.ops.preprocess.from_model_range` for reflectance).
@@ -210,6 +224,9 @@ def restore_scene(
             precision (model range ≈[-2,2] — well above the 41.5 dB
             quality bar, but not bit-identical to fp32). The cast runs
             on device so the relay carries the narrow dtype.
+        tta: self-ensemble each window over this many dihedral views
+            (`msid_tpu.ops.tta`; 1 disables). Ignored when a prebuilt
+            ``step`` is supplied — bake it into the step instead.
     """
     if not 0 <= overlap < window:
         raise ValueError(f"overlap ({overlap}) must be in [0, window={window})")
@@ -243,7 +260,7 @@ def restore_scene(
     if device_assembly:
         if step is None:
             step = make_device_scene_step(model, variables, window,
-                                          model_size, overlap)
+                                          model_size, overlap, tta=tta)
         # Native-dtype upload: integer scenes (uint16 Sentinel-2 DN) ship
         # 2x fewer bytes through the relay than fp32; the device pipeline
         # casts exactly in normalize_raw.
@@ -270,7 +287,7 @@ def restore_scene(
         return np.asarray(out)[:h0, :w0]
 
     if step is None:
-        step = make_scene_step(model, variables, window, model_size)
+        step = make_scene_step(model, variables, window, model_size, tta=tta)
     weights = _blend_weights(window, overlap)
 
     out_sum = np.zeros((h, w, c), np.float32)

@@ -22,6 +22,7 @@ from msid_tpu.ops.preprocess import (
     to_model_range,
 )
 from msid_tpu.ops.ssim import ssim, ssim_map, ssim_per_sample
+from msid_tpu.ops.tta import dihedral_ensemble, dihedral_inverse, dihedral_transform
 
 __all__ = [
     "MetricsTracker",
@@ -33,6 +34,9 @@ __all__ = [
     "calculate_rmse",
     "calculate_sam",
     "calculate_ssim",
+    "dihedral_ensemble",
+    "dihedral_inverse",
+    "dihedral_transform",
     "from_model_range",
     "mae_per_sample",
     "normalize_raw",

@@ -66,13 +66,19 @@ def evaluate_model(
     image_size: Optional[int] = None,
     eval_seed: int = 1234,
     verbose: bool = True,
+    tta: int = 1,
 ) -> dict:
-    """Evaluate over a loader; one host sync total. Returns metric dict."""
+    """Evaluate over a loader; one host sync total. Returns metric dict.
+
+    ``tta`` > 1 self-ensembles over that many dihedral views of each
+    noisy input (`msid_tpu.ops.tta`) before scoring.
+    """
     eval_step = make_eval_step(
         model,
         loss_cfg or LossConfig(),
         noise_cfg or NoiseConfig(),
         image_size=image_size or model.image_size,
+        tta=tta,
     )
     results = run_eval_loop(
         eval_step, variables, loader, jax.random.PRNGKey(eval_seed)

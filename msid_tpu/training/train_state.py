@@ -284,9 +284,14 @@ def make_eval_step(
     data_axis: str = "data",
     noise_impl: str = "jnp",
     vgg_params: dict | None = None,
+    tta: int = 1,
 ) -> Callable:
     """Jitted eval step: corrupt deterministically (per-batch key), forward
     in eval mode, return on-device metric sums + loss sum. Never syncs.
+
+    ``tta`` > 1 self-ensembles the forward over the first ``tta`` dihedral
+    views of the noisy input (`msid_tpu.ops.tta`): ~``tta``x eval FLOPs
+    for a free quality bump; metrics score the averaged restoration.
 
     Signature: ``(variables, batch, key, count) -> sums``. ``count`` is a
     device int32 scalar: only the first ``count`` samples contribute to the
@@ -307,7 +312,16 @@ def make_eval_step(
         else:
             clean = batch.astype(jnp.float32)
         noisy = corrupt(key, clean, noise_cfg, impl=noise_impl)
-        out = model.apply(variables, noisy.astype(compute_dtype), train=False)
+
+        def forward(z):
+            return model.apply(variables, z.astype(compute_dtype), train=False)
+
+        if tta > 1:
+            from msid_tpu.ops.tta import dihedral_ensemble
+
+            out = dihedral_ensemble(forward, noisy, tta)
+        else:
+            out = forward(noisy)
         out = out.astype(jnp.float32)
         mask = (jnp.arange(clean.shape[0]) < count).astype(jnp.float32)
         loss_ps = combined_loss_per_sample(out, clean, loss_cfg,

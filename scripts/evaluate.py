@@ -28,6 +28,10 @@ def parse_args():
     p.add_argument("--raw-weights", action="store_true",
                    help="evaluate the live params even when the checkpoint "
                         "carries an EMA shadow (EMA-vs-live ablation)")
+    p.add_argument("--tta", type=int, nargs="?", const=8, default=1,
+                   metavar="N",
+                   help="self-ensemble over N dihedral views of each noisy "
+                        "input (1-8; bare --tta means 8). ~N x eval cost.")
     return p.parse_args()
 
 
@@ -93,7 +97,11 @@ def main():
         loss_cfg=LossConfig.from_config(config),
         noise_cfg=NoiseConfig.from_config(config),
         image_size=int(config["data"].get("image_size", 192)),
+        tta=args.tta,
     )
+    if args.tta > 1:
+        results["tta"] = args.tta
+        logger.info("Metrics above use %d-view dihedral self-ensembling", args.tta)
 
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)

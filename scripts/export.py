@@ -31,6 +31,10 @@ def parse_args():
                    help="export the fastpath graph (fused QKV + folded BN; "
                         "the reference's onnxslim/constant-folding step)")
     p.add_argument("--device", type=str, default=None, help="jax platform override (tpu/cpu)")
+    p.add_argument("--tta", type=int, nargs="?", const=8, default=1, metavar="N",
+                   help="bake an N-view dihedral self-ensemble into the "
+                        "artifact (1-8; bare --tta means 8). ~N x FLOPs "
+                        "per call for a quality bump.")
     return p.parse_args()
 
 
@@ -134,6 +138,7 @@ def main():
         dynamic_batch=bool(export_cfg.get("dynamic_batch", True)),
         int8_weights=use_int8,
         optimize=use_opt,
+        tta=args.tta,
     )
     if use_int8:
         from msid_tpu.deployment import quantization_report

@@ -220,3 +220,35 @@ def test_flatten_roundtrip_empty_list():
 
     with _pytest.raises(ValueError, match="empty dict"):
         _flatten_variables({"a": {}})
+
+
+def test_tta_export_matches_live_ensemble(tmp_path):
+    """A tta-exported artifact bakes the dihedral ensemble into the
+    module; meta.json records it and the comparator ensembles its live
+    side to match (exact parity, fp32)."""
+    import json
+
+    from msid_tpu.ops.tta import dihedral_ensemble
+
+    model = SatMAERestoration(**SMALL)
+    variables = init_model(model, jax.random.PRNGKey(0))
+    path = export_stablehlo(model, variables, tmp_path / "tta",
+                            input_shape=(1, 64, 64, 13), tta=4)
+    meta = json.loads((path / "meta.json").read_text())
+    assert meta["tta"] == 4
+
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(-2, 2, (2, 64, 64, 13)).astype(np.float32)
+    )
+    infer = make_inference_fn(model)
+    want = np.asarray(
+        dihedral_ensemble(lambda z: infer(variables, z), x, 4)
+    )
+    got = np.asarray(load_exported(path)(x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # and the artifact must NOT match the single-view forward
+    assert not np.allclose(got, np.asarray(infer(variables, x)), atol=1e-4)
+
+    result = compare_live_vs_exported(model, variables, path,
+                                      input_shape=(2, 64, 64, 13))
+    assert result.allclose
