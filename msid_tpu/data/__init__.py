@@ -5,11 +5,17 @@ from msid_tpu.data.dataset import (
     SyntheticEuroSAT,
     build_dataset,
 )
-from msid_tpu.data.pipeline import BatchLoader, get_dataloaders, get_test_dataloader
+from msid_tpu.data.pipeline import (
+    BatchLoader,
+    DeviceCachedLoader,
+    get_dataloaders,
+    get_test_dataloader,
+)
 from msid_tpu.data.tiff import read_tiff, write_tiff
 
 __all__ = [
     "BatchLoader",
+    "DeviceCachedLoader",
     "EuroSATMultiSpectral",
     "SyntheticEuroSAT",
     "build_dataset",

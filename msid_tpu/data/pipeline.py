@@ -131,6 +131,86 @@ class BatchLoader:
             stop.set()
 
 
+class DeviceCachedLoader(BatchLoader):
+    """Batch loader whose tile set lives in device memory (HBM).
+
+    On relayed TPU transports the per-step host→device batch upload is
+    the training bottleneck, not compute: a 64×(64,64,13) fp32 batch is
+    ~13.6 MB/step through the relay (~0.7-0.9 s) against a ~0.19 s
+    device step. This loader uploads the WHOLE tile set once
+    (512 tiles ≈ 109 MB, 4096 ≈ 872 MB — small next to the ~1.5 GB
+    train state) and yields device-resident batches gathered by index;
+    the host ships only a ~256-byte index vector per step.
+
+    Semantics are bit-identical to :class:`BatchLoader` with the same
+    arguments: same seeded permutation per epoch, same batch boundaries,
+    same trailing-batch pad rule (``pad_last`` repeats the batch's first
+    tile — here by repeating its index before the gather, so shapes stay
+    static for jit). No prefetch threads: the "read" is a device gather.
+
+    Multi-host note: each process caches its own dataset copy; pair with
+    per-host dataset shards when feeding a multi-process mesh.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        pad_last: bool = False,
+        sharding=None,
+    ):
+        super().__init__(
+            dataset, batch_size, shuffle=shuffle, drop_last=drop_last,
+            seed=seed, prefetch=0, pad_last=pad_last,
+        )
+        import jax
+
+        stacked = np.stack([dataset[i] for i in range(len(dataset))], axis=0)
+        self.nbytes = stacked.nbytes
+        self._tiles = jax.device_put(stacked, sharding)
+
+    def _make_batch(self, idxs: np.ndarray):
+        import jax.numpy as jnp
+
+        count = len(idxs)
+        if self.pad_last and count < self.batch_size:
+            # Same pad rule as BatchLoader: repeat the batch's first tile.
+            idxs = np.concatenate(
+                [idxs, np.repeat(idxs[:1], self.batch_size - count)]
+            )
+        batch = jnp.take(self._tiles, jnp.asarray(idxs, jnp.int32), axis=0)
+        if self.pad_last:
+            return batch, count
+        return batch
+
+
+def _device_cache_enabled(config: dict, nbytes_estimate: int) -> bool:
+    """Resolve data.device_cache: true/false/'auto' (auto = fit check only)."""
+    import logging
+
+    data_cfg = config.get("data", {})
+    mode = data_cfg.get("device_cache", False)
+    if mode is False:
+        return False
+    cap_gb = float(data_cfg.get("device_cache_max_gb", 4.0))
+    fits = nbytes_estimate <= cap_gb * 1e9
+    if not fits and mode is True:
+        logging.getLogger(__name__).warning(
+            "data.device_cache: true but the tile set is %.2f GB "
+            "(> device_cache_max_gb %.1f) — falling back to the host "
+            "loader", nbytes_estimate / 1e9, cap_gb)
+    return fits
+
+
+def _tile_nbytes(dataset) -> int:
+    if len(dataset) == 0:
+        return 0
+    return np.asarray(dataset[0]).nbytes * len(dataset)
+
+
 def get_dataloaders(config: dict):
     """(train_loader, val_loader) from config — reference dataloader.py:18-84
     surface. Train batch = accum_steps × micro_batch (the jitted step scans
@@ -144,6 +224,16 @@ def get_dataloaders(config: dict):
 
     train_ds = build_dataset(config, "train")
     val_ds = build_dataset(config, "val")
+    if _device_cache_enabled(config, _tile_nbytes(train_ds) + _tile_nbytes(val_ds)):
+        train_loader = DeviceCachedLoader(
+            train_ds, batch_size=micro * accum, shuffle=True, drop_last=True,
+            seed=seed,
+        )
+        val_loader = DeviceCachedLoader(
+            val_ds, batch_size=micro * accum, shuffle=False, drop_last=False,
+            seed=seed, pad_last=True,
+        )
+        return train_loader, val_loader
     train_loader = BatchLoader(
         train_ds, batch_size=micro * accum, shuffle=True, drop_last=True, seed=seed
     )

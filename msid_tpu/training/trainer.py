@@ -208,6 +208,10 @@ class Trainer:
                 f"batch size {batch.shape[0]} not divisible by the "
                 f"{n}-device mesh — adjust micro_batch_size/accum"
             )
+        if isinstance(batch, jax.Array):
+            # Device-resident batches (DeviceCachedLoader) reshard
+            # device-to-device; np.asarray would round-trip via host.
+            return shard_batch(batch, self.mesh)
         return shard_batch(np.asarray(batch), self.mesh)
 
     def train_epoch(self, loader, epoch: int) -> Dict[str, float]:

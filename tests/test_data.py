@@ -203,3 +203,59 @@ def test_batch_loader_survives_abandoned_iterator():
     while threading.active_count() > before and _time.time() < deadline:
         _time.sleep(0.05)
     assert threading.active_count() <= before + 1  # workers drained
+
+
+def test_device_cached_loader_matches_host_loader():
+    """DeviceCachedLoader must be bit-identical to BatchLoader across
+    epochs: same seeded permutations, batch boundaries, and pad rule —
+    only the residence (HBM gather vs host stack) differs."""
+    from msid_tpu.data import DeviceCachedLoader
+
+    ds = SyntheticEuroSAT(num_samples=50, split="train", seed=0)
+    host = BatchLoader(ds, batch_size=8, shuffle=True, seed=3)
+    dev = DeviceCachedLoader(ds, batch_size=8, shuffle=True, seed=3)
+    assert len(host) == len(dev)
+    for _ in range(2):  # two epochs: the reshuffle streams must track
+        for hb, db in zip(host, dev):
+            np.testing.assert_array_equal(hb, np.asarray(db))
+
+
+def test_device_cached_loader_pad_last_parity():
+    from msid_tpu.data import DeviceCachedLoader
+
+    ds = SyntheticEuroSAT(num_samples=12, split="train", train_split=1.0)
+    host = BatchLoader(ds, batch_size=8, shuffle=False, drop_last=False,
+                       pad_last=True)
+    dev = DeviceCachedLoader(ds, batch_size=8, shuffle=False, drop_last=False,
+                             pad_last=True)
+    for (hb, hc), (db, dc) in zip(host, dev):
+        assert hc == dc
+        np.testing.assert_array_equal(hb, np.asarray(db))
+
+
+def test_get_dataloaders_device_cache_config():
+    from msid_tpu.data import DeviceCachedLoader, get_dataloaders
+
+    base = {
+        "data": {"root_dir": "/nonexistent-forces-synthetic",
+                 "device_cache": True},
+        "training": {"micro_batch_size": 4, "gradient_accumulation_steps": 1},
+        "seed": 11,
+    }
+    train_loader, val_loader = get_dataloaders(base)
+    assert isinstance(train_loader, DeviceCachedLoader)
+    assert isinstance(val_loader, DeviceCachedLoader)
+    batch = next(iter(train_loader))
+    assert batch.shape[1:] == (64, 64, 13)
+
+    # same config through the host path: identical batches
+    host_cfg = dict(base, data=dict(base["data"], device_cache=False))
+    h_train, _ = get_dataloaders(host_cfg)
+    np.testing.assert_array_equal(next(iter(h_train)), np.asarray(batch))
+
+    # over-cap falls back to the host loader (with a warning), even
+    # when device_cache is explicitly true
+    small_cap = dict(base, data=dict(base["data"], device_cache_max_gb=1e-9))
+    c_train, c_val = get_dataloaders(small_cap)
+    assert not isinstance(c_train, DeviceCachedLoader)
+    assert not isinstance(c_val, DeviceCachedLoader)
