@@ -261,5 +261,8 @@ def get_test_dataloader(config: dict, batch_size: Optional[int] = None):
     bs = batch_size or int(config.get("training", {}).get("micro_batch_size", 8))
     # pad_last: the eval loop masks padded samples via the true count, so
     # the trailing batch is unbiased AND reuses the one compiled shape.
+    if _device_cache_enabled(config, _tile_nbytes(ds)):
+        return DeviceCachedLoader(ds, batch_size=bs, shuffle=False,
+                                  drop_last=False, pad_last=True)
     return BatchLoader(ds, batch_size=bs, shuffle=False, drop_last=False,
                        pad_last=True)
