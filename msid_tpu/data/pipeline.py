@@ -161,6 +161,7 @@ class DeviceCachedLoader(BatchLoader):
         seed: int = 0,
         pad_last: bool = False,
         sharding=None,
+        storage_dtype: str = "native",
     ):
         super().__init__(
             dataset, batch_size, shuffle=shuffle, drop_last=drop_last,
@@ -169,6 +170,28 @@ class DeviceCachedLoader(BatchLoader):
         import jax
 
         stacked = np.stack([dataset[i] for i in range(len(dataset))], axis=0)
+        # Optional narrow storage: real Sentinel-2 DN tiles are integral
+        # 0-10000 (often decoded to fp32) — storing them uint16 is EXACT
+        # (normalize_raw casts to fp32 on device) and halves both the
+        # one-time upload and HBM residency. "auto" narrows only when the
+        # integral-and-in-range check proves exactness; "uint16" asserts it.
+        if storage_dtype not in ("native", "auto", "uint16"):
+            raise ValueError(f"storage_dtype must be native/auto/uint16, "
+                             f"got {storage_dtype!r}")
+        if (storage_dtype in ("auto", "uint16")
+                and np.issubdtype(stacked.dtype, np.floating)):
+            exact = (
+                stacked.min() >= 0 and stacked.max() <= np.iinfo(np.uint16).max
+                and not np.any(stacked != np.floor(stacked))
+            )
+            if exact:
+                stacked = stacked.astype(np.uint16)
+            elif storage_dtype == "uint16":
+                raise ValueError(
+                    "device_cache_dtype: uint16 requires integral tiles in "
+                    "[0, 65535]; this dataset has fractional or out-of-range "
+                    "values — use 'native' (or 'auto' to narrow only when "
+                    "exact)")
         self.nbytes = stacked.nbytes
         self._tiles = jax.device_put(stacked, sharding)
 
@@ -225,13 +248,14 @@ def get_dataloaders(config: dict):
     train_ds = build_dataset(config, "train")
     val_ds = build_dataset(config, "val")
     if _device_cache_enabled(config, _tile_nbytes(train_ds) + _tile_nbytes(val_ds)):
+        storage = config.get("data", {}).get("device_cache_dtype", "auto")
         train_loader = DeviceCachedLoader(
             train_ds, batch_size=micro * accum, shuffle=True, drop_last=True,
-            seed=seed,
+            seed=seed, storage_dtype=storage,
         )
         val_loader = DeviceCachedLoader(
             val_ds, batch_size=micro * accum, shuffle=False, drop_last=False,
-            seed=seed, pad_last=True,
+            seed=seed, pad_last=True, storage_dtype=storage,
         )
         return train_loader, val_loader
     train_loader = BatchLoader(
@@ -262,7 +286,10 @@ def get_test_dataloader(config: dict, batch_size: Optional[int] = None):
     # pad_last: the eval loop masks padded samples via the true count, so
     # the trailing batch is unbiased AND reuses the one compiled shape.
     if _device_cache_enabled(config, _tile_nbytes(ds)):
-        return DeviceCachedLoader(ds, batch_size=bs, shuffle=False,
-                                  drop_last=False, pad_last=True)
+        return DeviceCachedLoader(
+            ds, batch_size=bs, shuffle=False, drop_last=False, pad_last=True,
+            storage_dtype=config.get("data", {}).get("device_cache_dtype",
+                                                     "auto"),
+        )
     return BatchLoader(ds, batch_size=bs, shuffle=False, drop_last=False,
                        pad_last=True)

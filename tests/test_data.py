@@ -259,3 +259,37 @@ def test_get_dataloaders_device_cache_config():
     c_train, c_val = get_dataloaders(small_cap)
     assert not isinstance(c_train, DeviceCachedLoader)
     assert not isinstance(c_val, DeviceCachedLoader)
+
+
+def test_device_cache_uint16_storage():
+    """'auto' narrows integral fp32 tiles to uint16 storage (exact by
+    construction), yields value-identical batches, and 'uint16' on
+    fractional data fails loudly."""
+    from msid_tpu.data import DeviceCachedLoader
+
+    class IntegralTiles:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(i)
+            return rng.integers(0, 10000, (8, 8, 13)).astype(np.float32)
+
+    ds = IntegralTiles()
+    auto = DeviceCachedLoader(ds, batch_size=5, shuffle=False,
+                              storage_dtype="auto")
+    assert auto._tiles.dtype == np.uint16
+    assert auto.nbytes == 10 * 8 * 8 * 13 * 2
+    native = DeviceCachedLoader(ds, batch_size=5, shuffle=False,
+                                storage_dtype="native")
+    for ab, nb in zip(auto, native):
+        np.testing.assert_array_equal(np.asarray(ab, np.float32),
+                                      np.asarray(nb))
+
+    frac = SyntheticEuroSAT(num_samples=8, split="train", train_split=1.0)
+    fr = DeviceCachedLoader(frac, batch_size=4, shuffle=False,
+                            storage_dtype="auto")
+    assert fr._tiles.dtype == np.float32  # auto keeps fractional data wide
+    with pytest.raises(ValueError, match="integral"):
+        DeviceCachedLoader(frac, batch_size=4, shuffle=False,
+                           storage_dtype="uint16")
