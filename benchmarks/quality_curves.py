@@ -30,22 +30,33 @@ INK = "#333333"
 MUTED = "#767676"
 
 
-def load_history(ckpt_dir: str) -> dict:
+def load_history(source: str) -> dict:
+    # Accept either a checkpoint directory (history from the latest kept
+    # checkpoint's JSON metadata — truncated at that checkpoint's epoch
+    # when top-K pruning dropped later steps) or a training_history.json
+    # written by scripts/train.py (always the full run).
+    path = Path(source)
+    if path.is_file():
+        hist = json.loads(path.read_text())
+        if "val_psnr" not in hist:
+            raise ValueError(f"{source} is not a trainer history dict")
+        return hist
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     import orbax.checkpoint as ocp
 
-    mgr = ocp.CheckpointManager(Path(ckpt_dir).absolute())
+    mgr = ocp.CheckpointManager(Path(source).absolute())
     step = mgr.latest_step()
     if step is None:
-        raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+        raise FileNotFoundError(f"no checkpoints under {source}")
     meta = mgr.restore(
         step, args=ocp.args.Composite(metadata=ocp.args.JsonRestore())
     )["metadata"]
     hist = (meta or {}).get("history")
     if not hist or "val_psnr" not in hist:
-        raise ValueError(f"checkpoint {ckpt_dir}@{step} carries no history")
+        raise ValueError(f"checkpoint {source}@{step} carries no history")
     return hist
 
 

@@ -178,13 +178,9 @@ def export_stablehlo(
         host_fp32 = None
         raw_infer = make_inference_fn(model)
     if tta > 1:
-        from msid_tpu.ops.tta import dihedral_ensemble, orbit_prefix
+        from msid_tpu.ops.tta import wrap_forward
 
-        orbit_prefix(tta, input_shape[1], input_shape[2])  # validate early
-        base_infer = raw_infer
-
-        def raw_infer(v, x, _base=base_infer):
-            return dihedral_ensemble(lambda z: _base(v, z), x, tta)
+        raw_infer = wrap_forward(raw_infer, tta, input_shape[1], input_shape[2])
     infer = jax.jit(raw_infer)
     if dynamic_batch:
         scope = jax_export.SymbolicScope()
@@ -338,12 +334,9 @@ def compare_live_vs_exported(
     meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
     tta = int(meta.get("tta", 1))
     if tta > 1:  # artifact bakes a dihedral ensemble; match it live
-        from msid_tpu.ops.tta import dihedral_ensemble
+        from msid_tpu.ops.tta import wrap_forward
 
-        base_fn = live_fn
-
-        def live_fn(v, z, _base=base_fn):
-            return dihedral_ensemble(lambda t: _base(v, t), z, tta)
+        live_fn = wrap_forward(live_fn, tta, input_shape[1], input_shape[2])
     live = np.asarray(jax.jit(live_fn)(variables, x))
     deployed = np.asarray(load_exported(path)(x))
 

@@ -129,13 +129,9 @@ class InferenceSession:
                     if optimize is True:
                         raise
             if self.tta > 1:
-                from msid_tpu.ops.tta import dihedral_ensemble, orbit_prefix
+                from msid_tpu.ops.tta import wrap_forward
 
-                orbit_prefix(self.tta, image_size, image_size)  # validate early
-                base_infer = infer
-
-                def infer(v, x, _base=base_infer):
-                    return dihedral_ensemble(lambda z: _base(v, z), x, self.tta)
+                infer = wrap_forward(infer, self.tta, image_size, image_size)
             donate = (1,) if donate_input else ()
             if mesh is not None:
                 from msid_tpu.parallel.mesh import batch_sharded, replicated

@@ -75,13 +75,9 @@ def _make_scene_forward(model, variables, window: int, model_size: int,
             return model.apply(variables, x, train=False)
 
     if tta > 1:
-        from msid_tpu.ops.tta import dihedral_ensemble, orbit_prefix
+        from msid_tpu.ops.tta import wrap_forward
 
-        orbit_prefix(tta, model_size, model_size)  # validate early
-        base_forward = forward
-
-        def forward(variables, x, _base=base_forward):
-            return dihedral_ensemble(lambda z: _base(variables, z), x, tta)
+        forward = wrap_forward(forward, tta, model_size, model_size)
 
     def raw_step(variables, batch):
         clean_in = preprocess_tiles(batch, model_size)

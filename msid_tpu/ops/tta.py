@@ -70,6 +70,29 @@ def orbit_prefix(num_transforms: int, height: int, width: int
     return DIHEDRAL_ORBIT[:num_transforms]
 
 
+def wrap_forward(
+    forward: Callable[..., jnp.ndarray],
+    num_transforms: int,
+    height: int,
+    width: int,
+) -> Callable[..., jnp.ndarray]:
+    """Wrap a ``(variables, x) -> y`` forward in the dihedral self-ensemble.
+
+    Validates the orbit against the spatial shape eagerly (so callers fail
+    at build time, not inside jit) and returns the unchanged ``forward``
+    when ``num_transforms == 1``. Single home for the wrapper used by the
+    inference session, export, scene restoration, and the eval step.
+    """
+    orbit_prefix(num_transforms, height, width)
+    if num_transforms == 1:
+        return forward
+
+    def ensembled(variables, x, _base=forward):
+        return dihedral_ensemble(lambda z: _base(variables, z), x, num_transforms)
+
+    return ensembled
+
+
 def dihedral_ensemble(
     forward: Callable[[jnp.ndarray], jnp.ndarray],
     x: jnp.ndarray,

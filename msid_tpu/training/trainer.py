@@ -395,6 +395,18 @@ class Trainer:
         if out is None:
             return 0
         state, metadata, ckpt_step = out
+        if self.ema_decay <= 0.0 and state.ema_params is not None:
+            # The checkpoint carried an EMA shadow but this run trains
+            # without EMA: the restored shadow would never be updated, so
+            # eval_variables would score the restore-time weights forever
+            # (frozen validation / best-K / early-stop). Drop it — the
+            # live params become the served weights, matching ema_decay=0
+            # semantics.
+            logger.info(
+                "checkpoint carries an EMA shadow but training.ema_decay "
+                "is 0 — dropping the shadow; validation serves live params"
+            )
+            state = state.replace(ema_params=None)
         self.state = state
         history = (metadata or {}).get("history")
         if history:

@@ -10,6 +10,7 @@ needs. The reference's VRAM probe becomes an analytic HBM estimate plus
 
 from __future__ import annotations
 
+import copy
 import logging
 from pathlib import Path
 from typing import Optional
@@ -156,8 +157,12 @@ def setup_training_session(
     from msid_tpu.utils.checkpointing import CheckpointManager
 
     setup_device(platform)
+    # Deep-copy a caller-supplied dict: the epochs/synthetic overrides
+    # below write into nested training/data dicts, and a shallow copy
+    # would clobber the caller's config (re-run notebook cells, second
+    # sessions built from the same dict).
     config = (
-        dict(config_path) if isinstance(config_path, dict)
+        copy.deepcopy(config_path) if isinstance(config_path, dict)
         else setup_config(config_path)
     )
     if epochs is not None:

@@ -239,11 +239,11 @@ def save_restoration_triptychs(
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    batch = next(iter(loader))
-    if isinstance(batch, (tuple, list)) and len(batch) == 2:
-        # pad_last loaders yield (batch, true_count) — drop the padding.
-        batch, count = batch
-        batch = batch[:count]
+    from msid_tpu.training.eval import split_batch_item
+
+    # pad_last loaders yield (batch, true_count) — drop the padding.
+    batch, count = split_batch_item(next(iter(loader)))
+    batch = batch[:count]
     clean = preprocess_tiles(jnp.asarray(batch), image_size)
     noisy = apply_sensor_noise(jax.random.PRNGKey(eval_seed), clean, noise_cfg)
     restored = model.apply(variables, noisy, train=False).astype(jnp.float32)

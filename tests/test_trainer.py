@@ -160,6 +160,15 @@ def test_ema_trainer_checkpoint_adaptation(tmp_path):
                     jax.tree.leaves(resumed.state.ema_params)):
         np.testing.assert_array_equal(np.asarray(p), np.asarray(e))
 
+    # (d) EMA checkpoint → ema_decay=0 run: the shadow must be DROPPED,
+    # not carried frozen — a kept shadow would never update again and
+    # validation/best-K would permanently score restore-time weights.
+    noema = _make_trainer(manager=CheckpointManager(tmp_path / "a"))
+    assert noema.ema_decay == 0.0
+    assert noema.load_checkpoint() == 1
+    assert noema.state.ema_params is None
+    assert noema.state.eval_variables["params"] is noema.state.params
+
 
 def test_legacy_checkpoint_without_ema_field_restores(tmp_path):
     """Checkpoints written before TrainState grew `ema_params` have no such
