@@ -228,10 +228,28 @@ def _device_cache_enabled(config: dict, nbytes_estimate: int) -> bool:
     return fits
 
 
-def _tile_nbytes(dataset) -> int:
+def _tile_nbytes(dataset, storage_dtype: str = "native") -> int:
+    """Estimated device-cache bytes for ``dataset``.
+
+    When ``storage_dtype`` is auto/uint16 and the first tile is integral
+    fp32 in uint16 range, the cache will narrow to uint16 — estimate the
+    POST-narrowing size so a dataset that fits only after narrowing is
+    not rejected by the ``device_cache_max_gb`` check. (First-tile
+    heuristic: exactness over the full set is verified at build time by
+    :class:`DeviceCachedLoader`.)
+    """
     if len(dataset) == 0:
         return 0
-    return np.asarray(dataset[0]).nbytes * len(dataset)
+    tile = np.asarray(dataset[0])
+    nbytes = tile.nbytes
+    if (storage_dtype in ("auto", "uint16")
+            and np.issubdtype(tile.dtype, np.floating)
+            and tile.itemsize == 4
+            and tile.size > 0
+            and tile.min() >= 0 and tile.max() <= np.iinfo(np.uint16).max
+            and not np.any(tile != np.floor(tile))):
+        nbytes //= 2
+    return nbytes * len(dataset)
 
 
 def get_dataloaders(config: dict):
@@ -247,16 +265,33 @@ def get_dataloaders(config: dict):
 
     train_ds = build_dataset(config, "train")
     val_ds = build_dataset(config, "val")
-    if _device_cache_enabled(config, _tile_nbytes(train_ds) + _tile_nbytes(val_ds)):
-        storage = config.get("data", {}).get("device_cache_dtype", "auto")
-        train_loader = DeviceCachedLoader(
-            train_ds, batch_size=micro * accum, shuffle=True, drop_last=True,
-            seed=seed, storage_dtype=storage,
-        )
-        val_loader = DeviceCachedLoader(
-            val_ds, batch_size=micro * accum, shuffle=False, drop_last=False,
-            seed=seed, pad_last=True, storage_dtype=storage,
-        )
+    storage = config.get("data", {}).get("device_cache_dtype", "auto")
+    if _device_cache_enabled(
+            config,
+            _tile_nbytes(train_ds, storage) + _tile_nbytes(val_ds, storage)):
+        # An empty split can't be stacked into a device cache; fall back to
+        # the host loader for that split (which yields an empty epoch).
+        if len(train_ds) > 0:
+            train_loader = DeviceCachedLoader(
+                train_ds, batch_size=micro * accum, shuffle=True,
+                drop_last=True, seed=seed, storage_dtype=storage,
+            )
+        else:
+            train_loader = BatchLoader(
+                train_ds, batch_size=micro * accum, shuffle=True,
+                drop_last=True, seed=seed,
+            )
+        if len(val_ds) > 0:
+            val_loader = DeviceCachedLoader(
+                val_ds, batch_size=micro * accum, shuffle=False,
+                drop_last=False, seed=seed, pad_last=True,
+                storage_dtype=storage,
+            )
+        else:
+            val_loader = BatchLoader(
+                val_ds, batch_size=micro * accum, shuffle=False,
+                drop_last=False, seed=seed, pad_last=True,
+            )
         return train_loader, val_loader
     train_loader = BatchLoader(
         train_ds, batch_size=micro * accum, shuffle=True, drop_last=True, seed=seed
@@ -285,11 +320,11 @@ def get_test_dataloader(config: dict, batch_size: Optional[int] = None):
     bs = batch_size or int(config.get("training", {}).get("micro_batch_size", 8))
     # pad_last: the eval loop masks padded samples via the true count, so
     # the trailing batch is unbiased AND reuses the one compiled shape.
-    if _device_cache_enabled(config, _tile_nbytes(ds)):
+    storage = config.get("data", {}).get("device_cache_dtype", "auto")
+    if len(ds) > 0 and _device_cache_enabled(config, _tile_nbytes(ds, storage)):
         return DeviceCachedLoader(
             ds, batch_size=bs, shuffle=False, drop_last=False, pad_last=True,
-            storage_dtype=config.get("data", {}).get("device_cache_dtype",
-                                                     "auto"),
+            storage_dtype=storage,
         )
     return BatchLoader(ds, batch_size=bs, shuffle=False, drop_last=False,
                        pad_last=True)

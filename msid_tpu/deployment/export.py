@@ -177,10 +177,12 @@ def export_stablehlo(
     else:
         host_fp32 = None
         raw_infer = make_inference_fn(model)
-    if tta > 1:
-        from msid_tpu.ops.tta import wrap_forward
+    # wrap_forward validates tta eagerly (raises for tta<1 or >8, so a
+    # typo like tta=0 can't silently export single-view) and is the
+    # identity at tta == 1.
+    from msid_tpu.ops.tta import wrap_forward
 
-        raw_infer = wrap_forward(raw_infer, tta, input_shape[1], input_shape[2])
+    raw_infer = wrap_forward(raw_infer, tta, input_shape[1], input_shape[2])
     infer = jax.jit(raw_infer)
     if dynamic_batch:
         scope = jax_export.SymbolicScope()

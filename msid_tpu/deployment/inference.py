@@ -89,6 +89,11 @@ class InferenceSession:
 
         self._input_sharding = None
         self.tta = int(tta)
+        # Fail fast on tta<1 / out-of-range (tta=0 must not silently mean
+        # "single view"): the orbit validator raises for anything but 1-8.
+        from msid_tpu.ops.tta import orbit_prefix
+
+        orbit_prefix(self.tta, image_size, image_size)
         if artifact_path is not None:
             if mesh is not None:
                 raise ValueError("mesh serving needs model+variables, "

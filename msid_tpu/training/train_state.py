@@ -304,6 +304,11 @@ def make_eval_step(
     caller passes per-batch keys derived from a fixed eval seed.
     """
     compute_dtype = getattr(model, "dtype", jnp.float32)
+    # Validate tta at build time (tta=0 / negative must raise, not silently
+    # run single-view; see ops/tta.orbit_prefix for the range rule).
+    from msid_tpu.ops.tta import orbit_prefix
+
+    orbit_prefix(tta, image_size, image_size)
 
     def eval_step(variables: dict, batch: jnp.ndarray, key: jax.Array,
                   count: jnp.ndarray):

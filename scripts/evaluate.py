@@ -60,6 +60,12 @@ def main():
 
     config = coerce_scheduler_params(load_config(args.config))
     config["model"]["encoder"]["pretrained_path"] = None  # reference evaluate.py:50-52
+    # Fail fast on an invalid --tta (range 1-8) before checkpoint load and
+    # dataset setup, not at first eval-step trace.
+    from msid_tpu.ops.tta import orbit_prefix
+
+    image_size = int(config["data"].get("image_size", 192))
+    orbit_prefix(args.tta, image_size, image_size)
     if args.synthetic:
         config.setdefault("data", {})["root_dir"] = "/nonexistent-forces-synthetic"
 

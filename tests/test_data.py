@@ -293,3 +293,47 @@ def test_device_cache_uint16_storage():
     with pytest.raises(ValueError, match="integral"):
         DeviceCachedLoader(frac, batch_size=4, shuffle=False,
                            storage_dtype="uint16")
+
+
+def test_device_cache_empty_split_falls_back_to_host_loader():
+    """An empty split can't be stacked into a device cache: get_dataloaders
+    must hand back a host BatchLoader for it (empty epoch) instead of
+    crashing in np.stack (ADVICE r2)."""
+    from msid_tpu.data import DeviceCachedLoader, get_dataloaders
+
+    cfg = {
+        "data": {"root_dir": "/nonexistent-forces-synthetic",
+                 "device_cache": True, "synthetic_samples": 4,
+                 "train_split": 1.0},  # val split is empty
+        "training": {"micro_batch_size": 2, "gradient_accumulation_steps": 1},
+        "seed": 7,
+    }
+    train_loader, val_loader = get_dataloaders(cfg)
+    assert isinstance(train_loader, DeviceCachedLoader)
+    assert not isinstance(val_loader, DeviceCachedLoader)
+    assert list(iter(val_loader)) == []  # graceful empty epoch
+
+
+def test_tile_nbytes_estimates_post_narrowing_size():
+    """The device_cache_max_gb fit check must use post-uint16-narrowing
+    bytes for integral fp32 tiles (ADVICE r2): a dataset that fits only
+    after narrowing should still enable the cache."""
+    from msid_tpu.data.pipeline import _tile_nbytes
+
+    class IntegralTiles:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(i)
+            return rng.integers(0, 10000, (8, 8, 13)).astype(np.float32)
+
+    ds = IntegralTiles()
+    full = 10 * 8 * 8 * 13 * 4
+    assert _tile_nbytes(ds, "native") == full
+    assert _tile_nbytes(ds, "auto") == full // 2
+    assert _tile_nbytes(ds, "uint16") == full // 2
+    # fractional data never narrows
+    frac = SyntheticEuroSAT(num_samples=4, split="train", train_split=1.0)
+    one = np.asarray(frac[0]).nbytes
+    assert _tile_nbytes(frac, "auto") == one * len(frac)

@@ -168,3 +168,36 @@ def test_inference_session_tta_rejects_artifacts(tmp_path):
 
     with pytest.raises(ValueError):
         InferenceSession(artifact_path=tmp_path / "missing.stablehlo", tta=8)
+
+
+@pytest.mark.parametrize("bad", [0, -8, 9])
+def test_invalid_tta_fails_fast_everywhere(bad):
+    """tta=0 / negative / >8 must raise at BUILD time in every entry point
+    (ADVICE r2: '--tta -8' silently ran single-view before)."""
+    from msid_tpu.deployment.inference import InferenceSession
+    from msid_tpu.models import init_model
+    from msid_tpu.ops.tta import wrap_forward
+    from msid_tpu.training.train_state import make_eval_step
+
+    with pytest.raises(ValueError, match="num_transforms"):
+        wrap_forward(lambda v, x: x, bad, 32, 32)
+
+    model = _tiny_model()
+    with pytest.raises(ValueError, match="num_transforms"):
+        make_eval_step(model, image_size=32, tta=bad)
+
+    variables = init_model(model, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="num_transforms"):
+        InferenceSession(model=model, variables=variables, batch_size=1,
+                         image_size=32, optimize=False, tta=bad)
+
+
+def test_export_invalid_tta_fails_fast(tmp_path):
+    from msid_tpu.deployment.export import export_stablehlo
+    from msid_tpu.models import init_model
+
+    model = _tiny_model()
+    variables = init_model(model, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="num_transforms"):
+        export_stablehlo(model, variables, tmp_path / "m",
+                         input_shape=(1, 32, 32, 13), tta=0)
