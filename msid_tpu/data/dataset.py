@@ -153,7 +153,7 @@ class SyntheticEuroSAT:
         tile_size: int = TILE_SIZE,
         complexity: str = "base",
     ):
-        if complexity not in ("base", "rich"):
+        if complexity not in ("base", "rich", "mixed"):
             raise ValueError(f"unknown synthetic complexity {complexity!r}")
         self.num_bands = num_bands
         self.tile_size = tile_size
@@ -189,7 +189,15 @@ class SyntheticEuroSAT:
     def _generate(self, gidx: int) -> np.ndarray:
         rng = np.random.default_rng(self.seed * 1_000_003 + gidx)
         t = self.tile_size
-        if self.complexity == "rich":
+        family = self.complexity
+        if family == "mixed":
+            # Mixed-domain training (round-3 cross-domain study): a seeded
+            # per-index coin picks the family, on a SEPARATE rng stream so
+            # each mixed tile is bit-identical to the same-index tile of
+            # its pure family — cross-domain comparisons stay exact.
+            coin = np.random.default_rng(self.seed * 7_777_777 + gidx)
+            family = "rich" if coin.uniform() < 0.5 else "base"
+        if family == "rich":
             return self._generate_rich(rng, t)
         # low-frequency base field: random coarse grid, bilinear-upsampled
         base = self._smooth_field(rng, t, 8)

@@ -337,3 +337,28 @@ def test_tile_nbytes_estimates_post_narrowing_size():
     frac = SyntheticEuroSAT(num_samples=4, split="train", train_split=1.0)
     one = np.asarray(frac[0]).nbytes
     assert _tile_nbytes(frac, "auto") == one * len(frac)
+
+
+def test_synthetic_mixed_tiles_match_pure_families():
+    """'mixed' draws each tile from base or rich by a seeded per-index
+    coin, and every mixed tile is bit-identical to the same-index tile of
+    its pure family (so cross-domain comparisons are exact)."""
+    n, seed = 40, 7
+    mixed = SyntheticEuroSAT(num_samples=n, split="train", seed=seed,
+                             train_split=1.0, complexity="mixed")
+    base = SyntheticEuroSAT(num_samples=n, split="train", seed=seed,
+                            train_split=1.0, complexity="base")
+    rich = SyntheticEuroSAT(num_samples=n, split="train", seed=seed,
+                            train_split=1.0, complexity="rich")
+    n_base = n_rich = 0
+    for i in range(n):
+        m = mixed[i]
+        if np.array_equal(m, base[i]):
+            n_base += 1
+        elif np.array_equal(m, rich[i]):
+            n_rich += 1
+        else:
+            raise AssertionError(f"mixed tile {i} matches neither family")
+    # both families present, roughly balanced (p=0.5, n=40)
+    assert n_base + n_rich == n
+    assert 10 <= n_base <= 30
