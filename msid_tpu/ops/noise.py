@@ -113,6 +113,23 @@ def apply_sensor_noise(
     return out.astype(orig_dtype)
 
 
+def dead_band_mask(
+    key: jax.Array,
+    batch_shape: tuple,
+    cfg: NoiseConfig = NoiseConfig(),
+) -> jnp.ndarray:
+    """The boolean alive-mask ``[B, 1, 1, C]`` that `apply_sensor_noise`
+    would draw for ``key`` (same split order, same Bernoulli draw).
+
+    Lets oracle/bound studies (benchmarks/floor_study.py) know exactly
+    which bands the eval-protocol corruption killed without re-deriving
+    the key-split layout. True = band survives.
+    """
+    b, _, _, c = batch_shape
+    k_dead = jax.random.split(key, 6)[2]
+    return jax.random.uniform(k_dead, (b, 1, 1, c)) >= cfg.dead_band_prob
+
+
 def corrupt(
     key: jax.Array,
     x: jnp.ndarray,

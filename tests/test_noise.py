@@ -237,3 +237,28 @@ def test_normalize_spectral_roundtrip():
     assert abs(float(z.mean())) < 5.0
     back = denormalize_spectral(z, mean, std)
     assert np.allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+
+
+def test_dead_band_mask_matches_corruption():
+    """dead_band_mask must reproduce exactly the alive mask the corruption
+    applies (same key-split position, same draw)."""
+    import jax
+
+    from msid_tpu.ops.noise import NoiseConfig, apply_sensor_noise, dead_band_mask
+
+    cfg = NoiseConfig(gaussian_sigma=0.0, speckle_sigma=0.0,
+                      dead_band_prob=0.3, thermal_scale=0.0,
+                      enable_striping=False)
+    key = jax.random.PRNGKey(123)
+    # keep x inside the [-3, 3] clamp so the only effect is the band kill
+    x = jax.random.uniform(jax.random.fold_in(key, 1), (4, 8, 8, 13),
+                           minval=0.5, maxval=2.5)
+    noisy = apply_sensor_noise(key, x, cfg)
+    alive = dead_band_mask(key, x.shape, cfg)
+    # with only the dead-band component active, noisy == x * alive
+    np.testing.assert_allclose(np.asarray(noisy),
+                               np.asarray(x * alive.astype(x.dtype)),
+                               rtol=0, atol=0)
+    a = np.asarray(alive)
+    assert a.shape == (4, 1, 1, 13)
+    assert 0 < a.sum() < a.size  # some dead, some alive at p=0.3
