@@ -67,11 +67,14 @@ def evaluate_model(
     eval_seed: int = 1234,
     verbose: bool = True,
     tta: int = 1,
+    forward_impl: str = "auto",
 ) -> dict:
     """Evaluate over a loader; one host sync total. Returns metric dict.
 
     ``tta`` > 1 self-ensembles over that many dihedral views of each
-    noisy input (`msid_tpu.ops.tta`) before scoring.
+    noisy input (`msid_tpu.ops.tta`) before scoring. ``forward_impl``
+    selects the eval graph (see `make_eval_step`): "auto" serves the
+    folded-BN hybrid when the model supports it.
     """
     eval_step = make_eval_step(
         model,
@@ -79,6 +82,7 @@ def evaluate_model(
         noise_cfg or NoiseConfig(),
         image_size=image_size or model.image_size,
         tta=tta,
+        forward_impl=forward_impl,
     )
     results = run_eval_loop(
         eval_step, variables, loader, jax.random.PRNGKey(eval_seed)

@@ -285,9 +285,23 @@ def make_eval_step(
     noise_impl: str = "jnp",
     vgg_params: dict | None = None,
     tta: int = 1,
+    forward_impl: str = "auto",
 ) -> Callable:
     """Jitted eval step: corrupt deterministically (per-batch key), forward
     in eval mode, return on-device metric sums + loss sum. Never syncs.
+
+    ``forward_impl`` selects the eval forward graph (the reference
+    evaluates through the same deploy-optimized artifact it ships,
+    `src/deployment/onnx_inference.py`):
+
+      * "hybrid" — flax encoder + folded-BN conv_transpose decoder, with
+        the BN fold traced INSIDE the step (`fastpath.fold_decoder_jnp`,
+        a negligible elementwise preamble over the ~4M decoder params) so
+        live/EMA weights fold fresh every call with no host round-trip.
+        Measured ~6-11%% faster than `model.apply` at batch 64+ on v5e.
+      * "apply" — plain `model.apply` (the pre-r3 behavior).
+      * "auto" (default) — "hybrid" when the model config supports it
+        (unet_light decoder, BatchNorm), else "apply".
 
     ``tta`` > 1 self-ensembles the forward over the first ``tta`` dihedral
     views of the noisy input (`msid_tpu.ops.tta`): ~``tta``x eval FLOPs
@@ -310,6 +324,22 @@ def make_eval_step(
 
     orbit_prefix(tta, image_size, image_size)
 
+    if forward_impl not in ("auto", "apply", "hybrid"):
+        raise ValueError(
+            f"forward_impl must be auto|apply|hybrid, got {forward_impl!r}")
+    hybrid_forward = None
+    if forward_impl != "apply":
+        from msid_tpu.deployment.fastpath import (
+            make_hybrid_forward, supports_fastpath,
+        )
+
+        if supports_fastpath(model):
+            hybrid_forward = make_hybrid_forward(model)
+        elif forward_impl == "hybrid":
+            raise ValueError(
+                f"forward_impl='hybrid' needs unet_light/batch, got "
+                f"{model.decoder_arch}/{model.norm}")
+
     def eval_step(variables: dict, batch: jnp.ndarray, key: jax.Array,
                   count: jnp.ndarray):
         if preprocess_on_device:
@@ -319,6 +349,8 @@ def make_eval_step(
         noisy = corrupt(key, clean, noise_cfg, impl=noise_impl)
 
         def forward(z):
+            if hybrid_forward is not None:
+                return hybrid_forward(variables, z.astype(compute_dtype))
             return model.apply(variables, z.astype(compute_dtype), train=False)
 
         if tta > 1:

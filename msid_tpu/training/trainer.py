@@ -155,6 +155,10 @@ class Trainer:
         self.eval_step = eval_step or make_eval_step(
             model, self.loss_cfg, self.noise_cfg, image_size=image_size,
             noise_impl=noise_impl, mesh=self.mesh, vgg_params=vgg_params,
+            # training.eval_forward: auto (default) serves the folded-BN
+            # hybrid graph in validation when the model supports it —
+            # the deploy graph is what gets scored, as in the reference.
+            forward_impl=str(training.get("eval_forward", "auto")),
         )
 
         es = config.get("early_stopping", {})

@@ -32,6 +32,10 @@ def parse_args():
                    metavar="N",
                    help="self-ensemble over N dihedral views of each noisy "
                         "input (1-8; bare --tta means 8). ~N x eval cost.")
+    p.add_argument("--forward", choices=("auto", "apply", "hybrid"),
+                   default="auto",
+                   help="eval forward graph: auto (folded-BN hybrid when "
+                        "supported), apply (plain model.apply), hybrid")
     return p.parse_args()
 
 
@@ -104,6 +108,7 @@ def main():
         noise_cfg=NoiseConfig.from_config(config),
         image_size=int(config["data"].get("image_size", 192)),
         tta=args.tta,
+        forward_impl=args.forward,
     )
     if args.tta > 1:
         results["tta"] = args.tta
