@@ -70,6 +70,19 @@ class SatMAERestoration(nn.Module):
             dtype=self.dtype,
             axis_name=self.axis_name,
         )
+        if self.decoder_arch == "unet_skip":
+            # Skip stem: multi-scale features of the raw input bypass the
+            # token-grid bottleneck (see models/decoder.py InputPyramid —
+            # motivated by the measured reconstruction-fidelity cap,
+            # docs/DESIGN.md §10).
+            from msid_tpu.models.decoder import InputPyramid
+
+            self.skip_stem = InputPyramid(
+                num_levels=len(self.decoder_channels),
+                norm=self.norm,
+                dtype=self.dtype,
+                axis_name=self.axis_name,
+            )
 
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         b, h, w, c = x.shape
@@ -81,6 +94,9 @@ class SatMAERestoration(nn.Module):
         tokens = self.encoder(x, train=train)  # [B, N, D]
         grid = self.image_size // self.patch_size
         spatial = tokens.reshape(b, grid, grid, self.embed_dim)  # NHWC fold
+        if self.decoder_arch == "unet_skip":
+            skips = self.skip_stem(x.astype(self.dtype), train=train)
+            return self.decoder(spatial, skips, train=train)
         out = self.decoder(spatial, train=train)  # [B, H, W, out_channels]
         return out
 
@@ -119,11 +135,15 @@ def count_parameters(params) -> dict:
     p = params.get("params", params)
     encoder = _count(p.get("encoder", {}))
     decoder = _count(p.get("decoder", {}))
-    return {
+    out = {
         "encoder": encoder,
         "decoder": decoder,
-        "total": encoder + decoder,
+        "total": _count(p),  # includes extras like the unet_skip stem
     }
+    extra = out["total"] - encoder - decoder
+    if extra:
+        out["other"] = extra
+    return out
 
 
 def init_model(
