@@ -24,6 +24,7 @@ from msid_tpu.deployment.sliding_window import (
     make_device_scene_step,
     make_scene_step,
     restore_scene,
+    restore_scene_streaming,
 )
 
 __all__ = [
@@ -35,6 +36,7 @@ __all__ = [
     "quantization_report",
     "quantize_params",
     "restore_scene",
+    "restore_scene_streaming",
     "compare_live_vs_exported",
     "export_stablehlo",
     "load_exported",

@@ -180,6 +180,188 @@ def make_device_scene_step(model, variables, window: int, model_size: int,
     return fn
 
 
+def _band_plan(ys: list, window: int, stride: int, band_origin_rows: int):
+    """Group canonical row origins into bands of ``band_origin_rows``
+    consecutive origin rows. Returns (groups, band_height) where each
+    group is (y_start, [origins...]) and ``band_height`` is the static
+    per-band array height ``band_origin_rows*stride + window`` (covers the
+    worst-case span of any group plus the carry margin)."""
+    g = max(1, band_origin_rows)
+    groups = []
+    for i in range(0, len(ys), g):
+        sub = ys[i : i + g]
+        groups.append((sub[0], sub))
+    return groups, g * stride + window
+
+
+def restore_scene_streaming(
+    model,
+    variables,
+    scene: np.ndarray,
+    window: int = 64,
+    overlap: int = 16,
+    model_size: int = 192,
+    batch_size: int = 64,
+    band_origin_rows: int = 16,
+    step: Optional[callable] = None,
+    output_dtype=np.float16,
+    tta: int = 1,
+    progress: Optional[callable] = None,
+) -> np.ndarray:
+    """Banded, double-buffered :func:`restore_scene` (device assembly) for
+    relayed transports: H2D upload, compute, and D2H download all overlap.
+
+    The whole-scene device path uploads the scene once and downloads the
+    restored scene once — on the axon relay those two serial transfers
+    dominate end-to-end time (CLAUDE.md: 0.234 Mpix/s, compute alone is
+    ~5 Mpix/s). This variant streams row BANDS instead:
+
+      * canonical window origins (identical to :func:`restore_scene` — the
+        blend geometry does not change) are grouped into bands of
+        ``band_origin_rows`` origin rows;
+      * an uploader thread ships each band's pixel rows ahead of compute
+        (native dtype — uint16 Sentinel-2 DN is 2x fewer relay bytes);
+      * the main thread runs the SAME jitted gather/denoise/blend step as
+        ``make_device_scene_step`` on band-sized accumulators, carries the
+        seam rows (top ``window`` rows of the next band overlap the tail
+        of this one) device-to-device, then finalizes the band (divide by
+        the blend-weight sum, cast to ``output_dtype``) on device;
+      * a downloader thread drains finished bands while later bands
+        compute.
+
+    Numerics: same window origins, same blend weights, same forward as the
+    whole-scene device path; only the accumulation grouping differs, so
+    results match to float-addition reordering (~1e-6 relative), not
+    bit-exactly. fp16 output halves the download; pass np.float32 to match
+    restore_scene's default dtype.
+
+    Returns fp32/fp16 [H, W, C] in model range (as ``output_dtype``).
+    """
+    if not 0 <= overlap < window:
+        raise ValueError(f"overlap ({overlap}) must be in [0, window={window})")
+    import queue as _queue
+    import threading
+
+    scene = np.asarray(scene)
+    h0, w0 = scene.shape[:2]
+    if h0 < window or w0 < window:
+        scene = np.pad(
+            scene,
+            ((0, max(0, window - h0)), (0, max(0, window - w0)), (0, 0)),
+            mode="edge",
+        )
+    h, w, c = scene.shape
+    stride = window - overlap
+    ys = _window_origins(h, window, stride)
+    xs = _window_origins(w, window, stride)
+    groups, band_h = _band_plan(ys, window, stride, band_origin_rows)
+
+    if step is None:
+        step = make_device_scene_step(model, variables, window, model_size,
+                                      overlap, tta=tta)
+    elif getattr(step, "assembly", None) not in (None, "device"):
+        raise ValueError("streaming restore needs a make_device_scene_step "
+                         f"step, got assembly={step.assembly!r}")
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnums=(4,))
+    def carry_into(next_out, next_w, prev_out, prev_w, carry_rows, offset):
+        """Add the seam tail of the previous band's accumulators (rows
+        [offset, offset+carry_rows) there = rows [0, carry_rows) here)."""
+        tail_o = jax.lax.dynamic_slice(
+            prev_out, (offset, 0, 0), (carry_rows, w, c))
+        tail_w = jax.lax.dynamic_slice(
+            prev_w, (offset, 0, 0), (carry_rows, w, 1))
+        next_out = jax.lax.dynamic_update_slice(
+            next_out, next_out[:carry_rows] + tail_o, (0, 0, 0))
+        next_w = jax.lax.dynamic_update_slice(
+            next_w, next_w[:carry_rows] + tail_w, (0, 0, 0))
+        return next_out, next_w
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def finalize(out_sum, w_sum):
+        # Padded rows have zero weight; the guard keeps them finite (they
+        # are cropped on host).
+        return (out_sum / jnp.maximum(w_sum, 1e-12)).astype(
+            jnp.dtype(output_dtype))
+
+    # --- uploader: ship band pixel rows ahead of compute (depth-2 queue
+    # keeps at most one band in flight beyond the one computing).
+    upload_q: _queue.Queue = _queue.Queue(maxsize=2)
+
+    def uploader():
+        for y_start, _sub in groups:
+            rows = scene[y_start : y_start + band_h]
+            if rows.shape[0] < band_h:  # last band: flush-bottom padding
+                rows = np.pad(
+                    rows, ((0, band_h - rows.shape[0]), (0, 0), (0, 0)))
+            upload_q.put(jnp.asarray(rows))
+        upload_q.put(None)
+
+    # --- downloader: device_get blocks, so drain on a thread.
+    out_host = np.zeros((h, w, c), dtype=output_dtype)
+    download_q: _queue.Queue = _queue.Queue(maxsize=2)
+    errors: list = []
+
+    def downloader():
+        try:
+            while True:
+                item = download_q.get()
+                if item is None:
+                    return
+                dev, y_start, n_rows = item
+                out_host[y_start : y_start + n_rows] = np.asarray(
+                    jax.device_get(dev))[:n_rows]
+        except Exception as e:  # pragma: no cover - surfaced by join below
+            errors.append(e)
+
+    up_t = threading.Thread(target=uploader, daemon=True)
+    down_t = threading.Thread(target=downloader, daemon=True)
+    up_t.start()
+    down_t.start()
+
+    out_sum = jnp.zeros((band_h, w, c), jnp.float32)
+    w_sum = jnp.zeros((band_h, w, 1), jnp.float32)
+    done_windows = 0
+    total_windows = len(ys) * len(xs)
+    for k, (y_start, sub_ys) in enumerate(groups):
+        band = upload_q.get()
+        origins = np.asarray(
+            [(y - y_start, x) for y in sub_ys for x in xs], np.int32)
+        for i in range(0, len(origins), batch_size):
+            chunk = origins[i : i + batch_size]
+            valid = np.ones(len(chunk), np.float32)
+            if len(chunk) < batch_size:
+                pad = batch_size - len(chunk)
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, 2), np.int32)], axis=0)
+                valid = np.concatenate([valid, np.zeros(pad, np.float32)])
+            out_sum, w_sum = step(band, out_sum, w_sum,
+                                  jnp.asarray(chunk), jnp.asarray(valid))
+            done_windows += int(valid.sum())
+            if progress:
+                progress(done_windows, total_windows)
+        if k + 1 < len(groups):
+            next_start = groups[k + 1][0]
+            offset = next_start - y_start
+            next_out = jnp.zeros((band_h, w, c), jnp.float32)
+            next_w = jnp.zeros((band_h, w, 1), jnp.float32)
+            next_out, next_w = carry_into(
+                next_out, next_w, out_sum, w_sum, window,
+                jnp.int32(offset))
+            n_final = next_start - y_start  # rows owned solely by band k
+        else:
+            n_final = min(band_h, h - y_start)
+        download_q.put((finalize(out_sum, w_sum), y_start, n_final))
+        if k + 1 < len(groups):
+            out_sum, w_sum = next_out, next_w
+    download_q.put(None)
+    up_t.join()
+    down_t.join()
+    if errors:
+        raise errors[0]
+    return out_host[:h0, :w0]
+
+
 def restore_scene(
     model,
     variables,

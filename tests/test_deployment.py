@@ -317,6 +317,93 @@ def test_restore_scene_native_dtype_upload_bit_identical(model_and_vars):
     np.testing.assert_array_equal(as_u16, as_f32)
 
 
+def test_restore_scene_streaming_matches_device_path(model_and_vars):
+    """Banded streaming restore (H2D/compute/D2H overlapped) must match
+    the whole-scene device path: same window origins, same blend weights;
+    only the accumulation grouping differs (float reorder ~1e-6)."""
+    from msid_tpu.deployment.sliding_window import (
+        restore_scene,
+        restore_scene_streaming,
+    )
+
+    model, variables = model_and_vars
+    rng = np.random.default_rng(11)
+    # 200 rows, window 64 / stride 48 → origins [0, 48, 96, 136]: with 2
+    # origin rows per band this exercises multiple bands, seam carry, AND
+    # the irregular flush-bottom origin spacing.
+    scene = rng.uniform(0, 10000, (200, 112, 13)).astype(np.float32)
+
+    whole = restore_scene(model, variables, scene, window=64, overlap=16,
+                          model_size=64, batch_size=3, device_assembly=True)
+    seen = []
+    streamed = restore_scene_streaming(
+        model, variables, scene, window=64, overlap=16, model_size=64,
+        batch_size=3, band_origin_rows=2, output_dtype=np.float32,
+        progress=lambda done, total: seen.append((done, total)))
+    assert streamed.shape == scene.shape and np.isfinite(streamed).all()
+    np.testing.assert_allclose(streamed, whole, rtol=1e-5, atol=1e-5)
+    assert seen[-1][0] == seen[-1][1]  # progress reached total windows
+
+    # single-band degenerate case (no seam carry)
+    one_band = restore_scene_streaming(
+        model, variables, scene, window=64, overlap=16, model_size=64,
+        batch_size=3, band_origin_rows=64, output_dtype=np.float32)
+    np.testing.assert_allclose(one_band, whole, rtol=1e-5, atol=1e-5)
+
+
+def test_restore_scene_streaming_uint16_fp16_and_step_reuse(model_and_vars):
+    """The shipped streaming configuration: uint16 DN upload, fp16
+    download, prebuilt step reused across scenes."""
+    from msid_tpu.deployment.sliding_window import (
+        make_device_scene_step,
+        restore_scene,
+        restore_scene_streaming,
+    )
+
+    model, variables = model_and_vars
+    rng = np.random.default_rng(13)
+    scene = rng.integers(0, 10000, (160, 96, 13), dtype=np.uint16)
+
+    ref = restore_scene(model, variables, scene, window=64, overlap=16,
+                        model_size=64, batch_size=3, device_assembly=True)
+    step = make_device_scene_step(model, variables, window=64,
+                                  model_size=64, overlap=16)
+    for _ in range(2):  # step reuse: second call recompiles nothing
+        out = restore_scene_streaming(
+            model, variables, scene, window=64, overlap=16, model_size=64,
+            batch_size=3, band_origin_rows=2, step=step)
+        assert out.dtype == np.float16
+        np.testing.assert_allclose(out, ref, atol=4e-3)
+
+    # host-assembly step is rejected
+    from msid_tpu.deployment.sliding_window import make_scene_step
+
+    host_step = make_scene_step(model, variables, window=64, model_size=64)
+    with pytest.raises(ValueError, match="assembly"):
+        restore_scene_streaming(model, variables, scene, window=64,
+                                overlap=16, model_size=64, step=host_step)
+
+
+def test_restore_scene_streaming_undersized_scene(model_and_vars):
+    """Scenes smaller than one window are edge-padded then cropped, as in
+    restore_scene."""
+    from msid_tpu.deployment.sliding_window import (
+        restore_scene,
+        restore_scene_streaming,
+    )
+
+    model, variables = model_and_vars
+    rng = np.random.default_rng(17)
+    scene = rng.uniform(0, 10000, (40, 50, 13)).astype(np.float32)
+    ref = restore_scene(model, variables, scene, window=64, overlap=16,
+                        model_size=64, batch_size=3, device_assembly=True)
+    out = restore_scene_streaming(model, variables, scene, window=64,
+                                  overlap=16, model_size=64, batch_size=3,
+                                  output_dtype=np.float32)
+    assert out.shape == scene.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_restore_scene_output_dtype(model_and_vars):
     """output_dtype=float16 halves the scene download; values must round
     to the fp32 result within half-precision ulp, on both paths."""
