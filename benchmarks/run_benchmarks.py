@@ -148,18 +148,28 @@ def main():
                       "vs_ref": results["4_vs_reference"]}))
 
     # -- 5. sliding-window full scene -------------------------------------
-    # device_assembly keeps gather/denoise/blend on device: the scene is
-    # uploaded once and the restored scene downloaded once (the per-batch
-    # 13.6 MB round trips of host assembly dominate on relayed transports).
+    # Two device-side variants, same blend geometry and forward:
+    #   5a. whole-scene device assembly (one upload, one download — those
+    #       two serial relay transfers dominate end-to-end time);
+    #   5b. streamed row bands: uploader/downloader threads overlap H2D,
+    #       compute, and D2H; uint16 up, fp16 down (4x fewer relay bytes).
+    # The scene is uint16 Sentinel-2 DN — the on-disk format — sized so
+    # per-band streaming has something to overlap (640² has 2 bands).
     from msid_tpu.deployment.sliding_window import (
         make_device_scene_step,
         restore_scene,
+        restore_scene_streaming,
     )
 
-    scene = rng.uniform(0, 10000, (640, 640, 13)).astype(np.float32)
+    side = 1280 if args.quick else 2560
+    scene = rng.uniform(0, 10000, (side, side, 13)).astype(np.uint16)
+    mpix = scene.shape[0] * scene.shape[1] / 1e6
     scene_step = make_device_scene_step(model, variables, window=64,
                                         model_size=192, overlap=16)
-    # warm (compile) once — real scenes are ~10980² where compile amortizes
+    # warm (compile) at the BENCHED scene shape — the gather/accumulate jit
+    # specializes on the scene/accumulator shapes, so a smaller warm scene
+    # would leave the compile inside the timed region. Real scenes are
+    # ~10980² where this one-time compile amortizes away.
     restore_scene(model, variables, scene, window=64, overlap=16,
                   model_size=192, batch_size=64, device_assembly=True,
                   step=scene_step)
@@ -168,10 +178,23 @@ def main():
                         model_size=192, batch_size=64, device_assembly=True,
                         step=scene_step)
     dt = time.perf_counter() - t0
-    mpix = scene.shape[0] * scene.shape[1] / 1e6
-    results["5_scene_mpix_per_sec"] = round(mpix / dt, 2)
-    results["5_scene_s_per_640px"] = round(dt, 2)
-    print(json.dumps({"bench": "full_scene", "mpix_per_sec": results["5_scene_mpix_per_sec"]}))
+    results["5a_scene_device_assembly_mpix_per_sec"] = round(mpix / dt, 3)
+    print(json.dumps({"bench": "full_scene_device_assembly",
+                      "mpix_per_sec": results["5a_scene_device_assembly_mpix_per_sec"]}))
+
+    restore_scene_streaming(model, variables, scene, window=64, overlap=16,
+                            model_size=192, batch_size=64, step=scene_step)
+    t0 = time.perf_counter()
+    out_s = restore_scene_streaming(model, variables, scene, window=64,
+                                    overlap=16, model_size=192,
+                                    batch_size=64, step=scene_step)
+    dt_s = time.perf_counter() - t0
+    results["5_scene_mpix_per_sec"] = round(mpix / dt_s, 3)
+    results["5_scene_side_px"] = side
+    results["5_scene_stream_speedup"] = round(dt / dt_s, 2)
+    print(json.dumps({"bench": "full_scene_streaming",
+                      "mpix_per_sec": results["5_scene_mpix_per_sec"],
+                      "vs_device_assembly": results["5_scene_stream_speedup"]}))
 
     out_path = Path(__file__).parent / "results.json"
     out_path.write_text(json.dumps(results, indent=2))
