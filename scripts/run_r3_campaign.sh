@@ -8,20 +8,28 @@
 #   3. capacity_2x   2x decoder channels (capacity control)
 #   4. long_mixed    50/50 base+rich domain mix (cross-domain cliff fix)
 #
-# Each run trains, then evaluates its best checkpoint on the matching
-# 512-tile protocol. Logs land under outputs/<run>/train.log.
+# RELAY RULE (measured 2026-08-19): the axon relay serializes clients and
+# WEDGES if a new client connects while the previous one is still
+# draining — recovery needs every client killed plus a ~90 s settle.
+# Hence: one phase at a time, a settle gap between phases, and NEVER run
+# ad-hoc TPU probes while this script is active.
+#
+# Trainings all run first (pass 1), evaluations after (pass 2); each
+# phase writes a marker so reruns resume where they left off.
 set -u
 cd "$(dirname "$0")/.."
 
-run() {
+SETTLE=75
+
+train_one() {
   local name="$1" cfg="$2"
   local out="outputs/r3_${name}"
-  if [ -f "${out}/DONE" ]; then
-    echo "=== ${name}: already DONE, skipping ==="
+  if [ -f "${out}/TRAIN_DONE" ]; then
+    echo "=== ${name}: train already done ==="
     return 0
   fi
   mkdir -p "${out}"
-  echo "=== ${name}: training (config ${cfg}) ==="
+  echo "=== ${name}: training (config ${cfg}) $(date -u +%H:%M:%S) ==="
   local resume=""
   [ -d "${out}/checkpoints" ] && resume="--resume --checkpoint ${out}/checkpoints"
   python scripts/train.py --config "${cfg}" --synthetic \
@@ -29,18 +37,37 @@ run() {
   local rc=$?
   if [ ${rc} -ne 0 ]; then
     echo "=== ${name}: TRAIN FAILED rc=${rc} (see ${out}/train.log) ==="
-    return ${rc}
+  else
+    touch "${out}/TRAIN_DONE"
   fi
-  echo "=== ${name}: evaluating ==="
+  sleep ${SETTLE}
+  return ${rc}
+}
+
+eval_one() {
+  local name="$1" cfg="$2"
+  local out="outputs/r3_${name}"
+  if [ -f "${out}/DONE" ]; then
+    echo "=== ${name}: eval already done ==="
+    return 0
+  fi
+  [ -f "${out}/TRAIN_DONE" ] || { echo "=== ${name}: no train, skip eval ==="; return 1; }
+  echo "=== ${name}: evaluating $(date -u +%H:%M:%S) ==="
   python scripts/evaluate.py --config "${cfg}" --synthetic \
       --checkpoint "${out}/checkpoints" \
       --output-dir "${out}/eval" >"${out}/eval.log" 2>&1 \
     && touch "${out}/DONE"
-  echo "=== ${name}: done rc=$? ==="
+  echo "=== ${name}: eval rc=$? ==="
+  sleep ${SETTLE}
 }
 
-run skip     configs/experiments/long_skip.yaml
-run base600  configs/experiments/long_base600.yaml
-run capacity configs/experiments/capacity_2x.yaml
-run mixed    configs/experiments/long_mixed.yaml
-echo "=== campaign complete ==="
+train_one skip     configs/experiments/long_skip.yaml
+train_one base600  configs/experiments/long_base600.yaml
+train_one capacity configs/experiments/capacity_2x.yaml
+train_one mixed    configs/experiments/long_mixed.yaml
+
+eval_one skip     configs/experiments/long_skip.yaml
+eval_one base600  configs/experiments/long_base600.yaml
+eval_one capacity configs/experiments/capacity_2x.yaml
+eval_one mixed    configs/experiments/long_mixed.yaml
+echo "=== campaign complete $(date -u +%H:%M:%S) ==="
