@@ -28,8 +28,10 @@ benchmarks/fastpath_ab.py); there the winning graph is the hybrid
 conv_transpose decoder, 58.2 vs 61.8 ms at b=128.
 
 Numerics are validated against `model.apply` in fp32
-(tests/test_fastpath.py); supported config is the flagship `unet_light`
-decoder with `norm='batch'`.
+(tests/test_fastpath.py); supported configs are the flagship `unet_light`
+decoder and the `unet_skip` decoder (InputPyramid stem + per-stage fuse
+convs — all conv→BN pairs, so the same folding applies), both with
+`norm='batch'`.
 """
 
 from __future__ import annotations
@@ -60,6 +62,58 @@ def _fold_bn(kernel, bias, bn_params, bn_stats, eps: float = 1e-5):
     return k, b.astype(np.float32)
 
 
+def _build_stem_tree(stem_params, stem_stats, fold):
+    """Fold the `unet_skip` InputPyramid stem (conv→BN→GELU per level,
+    models/decoder.py) into bare conv+bias levels.
+
+    Level 0 is the full-resolution stem conv (stride 1); levels 1..n-1
+    are the stride-2 downsamplers — strides are implied by position, so
+    the tree stays a flat list of {k, b} dicts (round-trips through the
+    exporter's flat key/value serialization like `stages`/`blocks`).
+    ``fold`` is :func:`_fold_bn` (host numpy) or :func:`_fold_bn_jnp`
+    (traceable).
+    """
+    k, b = fold(stem_params["stem"]["kernel"], None,
+                stem_params["stem_norm"]["BatchNorm_0"],
+                stem_stats["stem_norm"]["BatchNorm_0"])
+    levels = [{"k": k, "b": b}]
+    i = 0
+    while f"down_{i}" in stem_params:
+        k, b = fold(stem_params[f"down_{i}"]["kernel"], None,
+                    stem_params[f"down_norm_{i}"]["BatchNorm_0"],
+                    stem_stats[f"down_norm_{i}"]["BatchNorm_0"])
+        levels.append({"k": k, "b": b})
+        i += 1
+    return levels
+
+
+def _fold_fuse(dec_params, dec_stats, s: int, fold):
+    """Fold a `unet_skip` per-stage fuse conv (1x1, no bias) + BN into a
+    [Cin, Cout] matmul weight + bias (1x1 conv over NHWC ≡ matmul on the
+    channel axis)."""
+    fk, fb = fold(dec_params[f"fuse_{s}"]["kernel"], None,
+                  dec_params[f"fuse_norm_{s}"]["BatchNorm_0"],
+                  dec_stats[f"fuse_norm_{s}"]["BatchNorm_0"])
+    cin, cout = fk.shape[-2], fk.shape[-1]
+    return fk.reshape(cin, cout), fb
+
+
+def _stem_features(stem, x):
+    """Run the folded InputPyramid: multi-scale features of the raw input,
+    returned coarse→fine to match the decoder stages (decoder.py)."""
+    feats = []
+    y = x
+    for i, lvl in enumerate(stem):
+        stride = (1, 1) if i == 0 else (2, 2)
+        y = jax.lax.conv_general_dilated(
+            y, lvl["k"].astype(y.dtype), window_strides=stride,
+            padding="SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + lvl["b"].astype(y.dtype)
+        y = jax.nn.gelu(y)
+        feats.append(y)
+    return feats[::-1]  # coarse → fine
+
+
 def optimize_for_inference(
     model, variables, dtype: Dtype = jnp.bfloat16, as_numpy: bool = False,
     upsample: str = "both",
@@ -83,8 +137,9 @@ def optimize_for_inference(
     """
     if upsample not in ("matmul", "ct", "both"):
         raise ValueError(f"upsample must be matmul|ct|both, got {upsample!r}")
-    if model.decoder_arch != "unet_light":
-        raise ValueError(f"fastpath supports unet_light, got {model.decoder_arch}")
+    if model.decoder_arch not in ("unet_light", "unet_skip"):
+        raise ValueError(
+            f"fastpath supports unet_light/unet_skip, got {model.decoder_arch}")
     if model.norm != "batch":
         raise ValueError(f"fastpath supports norm='batch', got {model.norm}")
 
@@ -165,6 +220,10 @@ def optimize_for_inference(
             # (measured b=128 decoder: 30.6 ms ct vs 69 ms matmul+d2s).
             stage["up_ct"] = wk
             stage["up_ct_b"] = wb
+        if f"fuse_{s}" in dec:
+            # unet_skip: concat(skip) → 1x1 fuse conv → BN → GELU
+            stage["fuse_w"], stage["fuse_b"] = _fold_fuse(
+                dec, dec_stats, s, _fold_bn)
         r = 0
         while f"res_{s}_{r}" in dec:
             res = dec[f"res_{s}_{r}"]
@@ -187,6 +246,10 @@ def optimize_for_inference(
     fp["head_b"] = hb
     fp["out_k"] = np.asarray(dec["head_out"]["kernel"], np.float32)
     fp["out_b"] = np.asarray(dec["head_out"]["bias"], np.float32)
+
+    if model.decoder_arch == "unet_skip":
+        fp["stem"] = _build_stem_tree(
+            params["skip_stem"], stats["skip_stem"], _fold_bn)
 
     if as_numpy:
         return fp
@@ -218,7 +281,8 @@ def _fold_bn_jnp(kernel, bias, bn_params, bn_stats, eps: float = 1e-5):
 
 
 def fold_decoder_jnp(dec_params, dec_stats, num_stages: int,
-                     dtype: Dtype = jnp.bfloat16) -> dict:
+                     dtype: Dtype = jnp.bfloat16,
+                     stem_params=None, stem_stats=None) -> dict:
     """Traceable decoder fold: the 'ct'-form subtree `make_hybrid_inference_fn`
     consumes, built with jnp ops from live decoder params + batch_stats.
 
@@ -243,6 +307,10 @@ def fold_decoder_jnp(dec_params, dec_stats, num_stages: int,
             dec_stats[f"up_{s}"]["Norm_0"]["BatchNorm_0"],
         )
         stage = {"up_ct": _cast(wk), "up_ct_b": _cast(wb), "res": []}
+        if f"fuse_{s}" in dec_params:
+            fw, fb = _fold_fuse(dec_params, dec_stats, s, _fold_bn_jnp)
+            stage["fuse_w"] = _cast(fw)
+            stage["fuse_b"] = _cast(fb)
         r = 0
         while f"res_{s}_{r}" in dec_params:
             res = dec_params[f"res_{s}_{r}"]
@@ -266,13 +334,17 @@ def fold_decoder_jnp(dec_params, dec_stats, num_stages: int,
     fp["head_b"] = _cast(hb)
     fp["out_k"] = _cast(jnp.asarray(dec_params["head_out"]["kernel"], jnp.float32))
     fp["out_b"] = _cast(jnp.asarray(dec_params["head_out"]["bias"], jnp.float32))
+    if stem_params is not None:
+        fp["stem"] = jax.tree_util.tree_map(
+            _cast, _build_stem_tree(stem_params, stem_stats, _fold_bn_jnp))
     return fp
 
 
 def supports_fastpath(model) -> bool:
     """True when the model config matches the hand-scheduled graphs
-    (flagship unet_light decoder with BatchNorm)."""
-    return model.decoder_arch == "unet_light" and model.norm == "batch"
+    (unet_light or unet_skip decoder with BatchNorm)."""
+    return (model.decoder_arch in ("unet_light", "unet_skip")
+            and model.norm == "batch")
 
 
 def make_hybrid_forward(model):
@@ -281,22 +353,26 @@ def make_hybrid_forward(model):
     (:func:`fold_decoder_jnp`). Safe to jit with live/EMA weights."""
     if not supports_fastpath(model):
         raise ValueError(
-            f"hybrid forward supports unet_light/batch, got "
-            f"{model.decoder_arch}/{model.norm}")
+            f"hybrid forward supports unet_light/unet_skip with batch norm, "
+            f"got {model.decoder_arch}/{model.norm}")
     grid = model.image_size // model.patch_size
 
     def forward(variables: dict, x: jnp.ndarray) -> jnp.ndarray:
         b = x.shape[0]
+        x = x.astype(model.dtype)
         enc_vars = {"params": {"encoder": variables["params"]["encoder"]}}
         tokens = model.apply(
-            enc_vars, x.astype(model.dtype), train=False,
+            enc_vars, x, train=False,
             method=lambda m, xx, train: m.encoder(xx, train=train),
         )
         dec = fold_decoder_jnp(
             variables["params"]["decoder"], variables["batch_stats"]["decoder"],
-            num_stages=len(model.decoder_channels), dtype=model.dtype)
+            num_stages=len(model.decoder_channels), dtype=model.dtype,
+            stem_params=variables["params"].get("skip_stem"),
+            stem_stats=variables.get("batch_stats", {}).get("skip_stem"))
+        skips = _stem_features(dec["stem"], x) if "stem" in dec else None
         y = tokens.reshape(b, grid, grid, model.embed_dim)
-        return _fast_decode(dec, y, matmul_upsample=False)
+        return _fast_decode(dec, y, matmul_upsample=False, skips=skips)
 
     return forward
 
@@ -370,13 +446,18 @@ def fast_forward(
 
     tokens = _layer_norm(tokens, *fast_params["final_ln"])
     y = tokens.reshape(b, gh, gw, d)
-    return _fast_decode(fast_params, y, matmul_upsample=matmul_upsample)
+    skips = (_stem_features(fast_params["stem"], x)
+             if "stem" in fast_params else None)
+    return _fast_decode(fast_params, y, matmul_upsample=matmul_upsample,
+                        skips=skips)
 
 
-def _fast_decode(fast_params: dict, y: jnp.ndarray, *, matmul_upsample: bool):
+def _fast_decode(fast_params: dict, y: jnp.ndarray, *, matmul_upsample: bool,
+                 skips=None):
     """Folded-BN decoder on an NHWC token grid (shared by fast_forward and
-    the hybrid path)."""
-    for stage in fast_params["stages"]:
+    the hybrid path). ``skips`` (unet_skip only) are the coarse→fine
+    InputPyramid features from :func:`_stem_features`."""
+    for stage_idx, stage in enumerate(fast_params["stages"]):
         bb, hh, ww, _ = y.shape
         if matmul_upsample:
             cout = stage["up_w"].shape[1] // 4
@@ -390,6 +471,12 @@ def _fast_decode(fast_params: dict, y: jnp.ndarray, *, matmul_upsample: bool):
                 padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ) + stage["up_ct_b"].astype(y.dtype)
         y = jax.nn.gelu(up)
+        if "fuse_w" in stage:
+            # unet_skip: concat matching-resolution input feature, 1x1 fuse
+            # (as a channel matmul), folded-BN bias, GELU
+            y = jnp.concatenate([y, skips[stage_idx].astype(y.dtype)], axis=-1)
+            y = jax.nn.gelu(y @ stage["fuse_w"].astype(y.dtype)
+                            + stage["fuse_b"].astype(y.dtype))
         for res in stage["res"]:
             z = jax.nn.gelu(_conv3(y, res["k1"], res["b1"]))
             z = _conv3(z, res["k2"], res["b2"])
@@ -417,12 +504,16 @@ def make_hybrid_inference_fn(model):
 
     def infer(weights: dict, x: jnp.ndarray) -> jnp.ndarray:
         b = x.shape[0]
+        x = x.astype(model.dtype)
         tokens = model.apply(
-            weights["enc"], x.astype(model.dtype), train=False,
+            weights["enc"], x, train=False,
             method=lambda m, xx, train: m.encoder(xx, train=train),
         )
+        skips = (_stem_features(weights["dec"]["stem"], x)
+                 if "stem" in weights["dec"] else None)
         y = tokens.reshape(b, grid, grid, model.embed_dim)
-        return _fast_decode(weights["dec"], y, matmul_upsample=False)
+        return _fast_decode(weights["dec"], y, matmul_upsample=False,
+                            skips=skips)
 
     return infer
 
@@ -439,6 +530,8 @@ def optimize_for_hybrid(model, variables, dtype: Dtype = jnp.bfloat16) -> dict:
         model, variables, as_numpy=True, upsample="ct"
     )
     dec = {k: fp[k] for k in ("stages", "head_k", "head_b", "out_k", "out_b")}
+    if "stem" in fp:
+        dec["stem"] = fp["stem"]
 
     def _cast(x):
         x = np.asarray(x)

@@ -301,7 +301,7 @@ def make_eval_step(
         Measured ~6-11%% faster than `model.apply` at batch 64+ on v5e.
       * "apply" — plain `model.apply` (the pre-r3 behavior).
       * "auto" (default) — "hybrid" when the model config supports it
-        (unet_light decoder, BatchNorm), else "apply".
+        (unet_light/unet_skip decoder, BatchNorm), else "apply".
 
     ``tta`` > 1 self-ensembles the forward over the first ``tta`` dihedral
     views of the noisy input (`msid_tpu.ops.tta`): ~``tta``x eval FLOPs
@@ -337,8 +337,8 @@ def make_eval_step(
             hybrid_forward = make_hybrid_forward(model)
         elif forward_impl == "hybrid":
             raise ValueError(
-                f"forward_impl='hybrid' needs unet_light/batch, got "
-                f"{model.decoder_arch}/{model.norm}")
+                f"forward_impl='hybrid' needs a unet_light/unet_skip decoder "
+                f"with batch norm, got {model.decoder_arch}/{model.norm}")
 
     def eval_step(variables: dict, batch: jnp.ndarray, key: jax.Array,
                   count: jnp.ndarray):

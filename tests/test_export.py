@@ -252,3 +252,24 @@ def test_tta_export_matches_live_ensemble(tmp_path):
     result = compare_live_vs_exported(model, variables, path,
                                       input_shape=(2, 64, 64, 13))
     assert result.allclose
+
+
+def test_optimized_export_unet_skip_roundtrip(tmp_path):
+    """The unet_skip fastpath tree (stem list + per-stage fuse weights)
+    must survive the flat npz serialization and match the live model."""
+    model = SatMAERestoration(
+        image_size=32, patch_size=16, embed_dim=64, depth=1, num_heads=4,
+        decoder_arch="unet_skip", decoder_channels=(16, 8, 8, 8),
+        gradient_checkpointing=False, dtype=jnp.float32,
+    )
+    variables = init_model(model, jax.random.PRNGKey(0))
+    path = export_stablehlo(model, variables, tmp_path / "skip_opt",
+                            input_shape=(1, 32, 32, 13), optimize=True,
+                            dynamic_batch=False)
+    with np.load(path / "params.npz") as z:
+        assert any(k.startswith("stem#0/") for k in z.files)
+        assert any("fuse_w" in k for k in z.files)
+    result = compare_live_vs_exported(model, variables, path,
+                                      input_shape=(1, 32, 32, 13),
+                                      rtol=2e-3, atol=1e-4)
+    assert result.cosine_similarity > 0.99999

@@ -236,3 +236,115 @@ def test_eval_step_auto_falls_back_for_group_norm():
         make_eval_step(model, image_size=32, forward_impl="hybrid")
     with pytest.raises(ValueError, match="forward_impl"):
         make_eval_step(model, image_size=32, forward_impl="bogus")
+
+
+# ---- unet_skip graph family (round 3: the quality-winning decoder must
+# ---- serve through the same optimized graphs as unet_light) ----
+
+def _skip_model(**kw):
+    """Tiny unet_skip config: 4 stages so grid 2 upsamples back to 32."""
+    return _tiny_model(decoder_arch="unet_skip",
+                       decoder_channels=(16, 8, 8, 8), **kw)
+
+
+@pytest.mark.parametrize("matmul_upsample", [True, False])
+def test_fastpath_skip_matches_model_fp32(matmul_upsample):
+    model = _skip_model()
+    variables = init_model(model, jax.random.PRNGKey(0))
+    variables = dict(variables)
+    variables["batch_stats"] = _random_stats(
+        variables["batch_stats"], jax.random.PRNGKey(1)
+    )
+    x = jax.random.uniform(
+        jax.random.PRNGKey(2), (2, 32, 32, 13), jnp.float32, -2.0, 2.0
+    )
+    ref = np.asarray(model.apply(variables, x, train=False))
+    fp = optimize_for_inference(model, variables, dtype=jnp.float32)
+    assert "stem" in fp and "fuse_w" in fp["stages"][0]
+    fn = make_fast_inference_fn(model, matmul_upsample=matmul_upsample)
+    got = np.asarray(jax.jit(fn)(fp, x))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_hybrid_skip_matches_model_fp32():
+    from msid_tpu.deployment.fastpath import (
+        make_hybrid_inference_fn,
+        optimize_for_hybrid,
+    )
+
+    model = _skip_model()
+    variables = init_model(model, jax.random.PRNGKey(0))
+    variables = dict(variables)
+    variables["batch_stats"] = _random_stats(
+        variables["batch_stats"], jax.random.PRNGKey(1)
+    )
+    x = jax.random.uniform(
+        jax.random.PRNGKey(2), (3, 32, 32, 13), jnp.float32, -2.0, 2.0
+    )
+    ref = np.asarray(model.apply(variables, x, train=False))
+    w = optimize_for_hybrid(model, variables, dtype=jnp.float32)
+    got = np.asarray(jax.jit(make_hybrid_inference_fn(model))(w, x))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_device_fold_skip_matches_apply_fp32():
+    """make_hybrid_forward (in-jit fold, used by eval forward_impl=auto)
+    must match model.apply for unet_skip."""
+    from msid_tpu.deployment.fastpath import make_hybrid_forward
+
+    model = _skip_model()
+    variables = init_model(model, jax.random.PRNGKey(0))
+    variables = dict(variables)
+    variables["batch_stats"] = _random_stats(
+        variables["batch_stats"], jax.random.PRNGKey(1)
+    )
+    x = jax.random.uniform(
+        jax.random.PRNGKey(2), (2, 32, 32, 13), jnp.float32, -2.0, 2.0
+    )
+    ref = np.asarray(model.apply(variables, x, train=False))
+    got = np.asarray(jax.jit(make_hybrid_forward(model))(variables, x))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_eval_step_auto_uses_hybrid_for_skip():
+    """forward_impl='auto' must route unet_skip through the hybrid graph
+    and reproduce the 'apply' metrics."""
+    from msid_tpu.training.train_state import make_eval_step
+
+    model = _skip_model()
+    variables = init_model(model, jax.random.PRNGKey(0))
+    variables = dict(variables)
+    variables["batch_stats"] = _random_stats(
+        variables["batch_stats"], jax.random.PRNGKey(1)
+    )
+    batch = jax.random.uniform(jax.random.PRNGKey(3), (4, 32, 32, 13),
+                               jnp.float32, 0.0, 10000.0)
+    key = jax.random.PRNGKey(7)
+    count = jnp.int32(4)
+    plain = make_eval_step(model, image_size=32, forward_impl="apply")(
+        variables, batch, key, count)
+    auto = make_eval_step(model, image_size=32, forward_impl="auto")(
+        variables, batch, key, count)
+    for name in plain:
+        np.testing.assert_allclose(np.asarray(auto[name]),
+                                   np.asarray(plain[name]),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_session_auto_optimizes_skip():
+    """InferenceSession auto-optimization must engage for unet_skip in both
+    batch regimes and agree across graphs."""
+    from msid_tpu.deployment.inference import InferenceSession
+
+    model = _skip_model()
+    variables = init_model(model, jax.random.PRNGKey(0))
+    small = InferenceSession(model=model, variables=variables,
+                             batch_size=1, image_size=32)
+    assert small.optimized == "fastpath"
+    big = InferenceSession(model=model, variables=variables,
+                           batch_size=8, image_size=32)
+    assert big.optimized == "hybrid"
+    x = np.random.default_rng(0).normal(0, 1, (1, 32, 32, 13)).astype(np.float32)
+    ya = small.predict(x)
+    yb = big.predict(np.repeat(x, 8, axis=0))
+    np.testing.assert_allclose(ya[0], yb[0], rtol=2e-4, atol=2e-5)
