@@ -260,25 +260,36 @@ def collect_oracles(loader, noise_cfg, image_size, base_key, global_gram):
     rows = {name: {m: [] for m in METRICS}
             for name in ("oracle_global", "oracle_tile", "linear_fill")}
 
-    def acc(name, pred, clean):
-        out = jax.device_get(score(jnp.asarray(pred)[None],
-                                   jnp.asarray(clean)[None]))
+    def acc_batch(name, preds, cleans, count, pad_to):
+        # One scoring call per oracle per BATCH (a per-sample call would
+        # pay the relay dispatch floor ~1500x over the 512 protocol);
+        # pad to the loader's static batch so `score` compiles once.
+        preds = np.stack(preds)
+        cleans = np.stack(cleans)
+        if preds.shape[0] < pad_to:
+            reps = pad_to - preds.shape[0]
+            preds = np.concatenate([preds, np.repeat(preds[:1], reps, 0)])
+            cleans = np.concatenate([cleans, np.repeat(cleans[:1], reps, 0)])
+        out = jax.device_get(score(jnp.asarray(preds), jnp.asarray(cleans)))
         for m in METRICS:
-            rows[name][m].append(float(np.asarray(out[m])[0]))
+            rows[name][m].extend(
+                float(v) for v in np.asarray(out[m])[:count])
 
     for i, item in enumerate(loader):
         batch, count = split_batch_item(item)
         key = jax.random.fold_in(base_key, jnp.uint32(i))
         clean, noisy, alive = jax.device_get(prep(jnp.asarray(batch), key))
+        og_b, ot_b, lf_b, cl_b = [], [], [], []
         for s_idx in range(count):
             cl, no, al = clean[s_idx], noisy[s_idx], alive[s_idx].astype(bool)
+            cl_b.append(cl)
             if al.all():
                 # No erasure: the oracles are exact (PSNR unbounded); keep
                 # placeholder rows so indices line up, aggregate() drops
                 # them from the oracle subsets.
-                acc("oracle_global", cl, cl)
-                acc("oracle_tile", cl, cl)
-                acc("linear_fill", no, cl)
+                og_b.append(cl)
+                ot_b.append(cl)
+                lf_b.append(no)
                 continue
             flat = cl.reshape(-1, cl.shape[-1])
             ones = np.ones((flat.shape[0], 1), flat.dtype)
@@ -295,9 +306,13 @@ def collect_oracles(loader, noise_cfg, image_size, base_key, global_gram):
                 lf[:, tgt] = z_noisy[:, surv] @ w
             for tgt, (surv, w) in _solve_fill(tile_gram, al).items():
                 ot[:, tgt] = z_clean[:, surv] @ w
-            acc("oracle_global", og.reshape(cl.shape), cl)
-            acc("oracle_tile", ot.reshape(cl.shape), cl)
-            acc("linear_fill", lf.reshape(cl.shape), cl)
+            og_b.append(og.reshape(cl.shape))
+            ot_b.append(ot.reshape(cl.shape))
+            lf_b.append(lf.reshape(cl.shape))
+        pad_to = clean.shape[0]
+        acc_batch("oracle_global", og_b, cl_b, count, pad_to)
+        acc_batch("oracle_tile", ot_b, cl_b, count, pad_to)
+        acc_batch("linear_fill", lf_b, cl_b, count, pad_to)
 
     import numpy as np
 

@@ -16,6 +16,12 @@ from typing import Iterator, Optional
 import numpy as np
 
 
+class DeviceCacheTooLarge(ValueError):
+    """Raised by :class:`DeviceCachedLoader` when the stacked tile set
+    exceeds its byte budget after storage-dtype resolution; callers fall
+    back to the host :class:`BatchLoader`."""
+
+
 class BatchLoader:
     """Iterates seeded, shuffled batches of raw tiles as numpy arrays.
 
@@ -162,6 +168,7 @@ class DeviceCachedLoader(BatchLoader):
         pad_last: bool = False,
         sharding=None,
         storage_dtype: str = "native",
+        max_bytes: Optional[int] = None,
     ):
         super().__init__(
             dataset, batch_size, shuffle=shuffle, drop_last=drop_last,
@@ -192,6 +199,14 @@ class DeviceCachedLoader(BatchLoader):
                     "[0, 65535]; this dataset has fractional or out-of-range "
                     "values — use 'native' (or 'auto' to narrow only when "
                     "exact)")
+        # The pre-build fit check (`_tile_nbytes`) sizes the cache from the
+        # FIRST tile only; re-validate against the cap with the actual
+        # post-narrowing size before committing HBM (a mixed integral/
+        # fractional set stays fp32, 2x the estimate).
+        if max_bytes is not None and stacked.nbytes > max_bytes:
+            raise DeviceCacheTooLarge(
+                f"tile set is {stacked.nbytes / 1e9:.2f} GB after dtype "
+                f"resolution (> {max_bytes / 1e9:.2f} GB budget)")
         self.nbytes = stacked.nbytes
         self._tiles = jax.device_put(stacked, sharding)
 
@@ -235,8 +250,10 @@ def _tile_nbytes(dataset, storage_dtype: str = "native") -> int:
     fp32 in uint16 range, the cache will narrow to uint16 — estimate the
     POST-narrowing size so a dataset that fits only after narrowing is
     not rejected by the ``device_cache_max_gb`` check. (First-tile
-    heuristic: exactness over the full set is verified at build time by
-    :class:`DeviceCachedLoader`.)
+    heuristic: exactness AND the actual fit are re-verified at build time
+    by :class:`DeviceCachedLoader` — a mixed set that stays fp32 falls
+    back to the host loader via :class:`DeviceCacheTooLarge` rather than
+    overshooting the budget.)
     """
     if len(dataset) == 0:
         return 0
@@ -250,6 +267,25 @@ def _tile_nbytes(dataset, storage_dtype: str = "native") -> int:
             and not np.any(tile != np.floor(tile))):
         nbytes //= 2
     return nbytes * len(dataset)
+
+
+def _device_cached_or_host(dataset, **kw):
+    """DeviceCachedLoader when possible, host BatchLoader otherwise (empty
+    split — nothing to stack — or actual post-narrowing size over budget)."""
+    import logging
+
+    storage = kw.pop("storage_dtype", "native")
+    max_bytes = kw.pop("max_bytes", None)
+    if len(dataset) > 0:
+        try:
+            return DeviceCachedLoader(
+                dataset, storage_dtype=storage, max_bytes=max_bytes, **kw)
+        except DeviceCacheTooLarge as e:
+            logging.getLogger(__name__).warning(
+                "device cache disabled for this split: %s — using the host "
+                "loader", e)
+    kw.pop("sharding", None)
+    return BatchLoader(dataset, **kw)
 
 
 def get_dataloaders(config: dict):
@@ -269,29 +305,18 @@ def get_dataloaders(config: dict):
     if _device_cache_enabled(
             config,
             _tile_nbytes(train_ds, storage) + _tile_nbytes(val_ds, storage)):
-        # An empty split can't be stacked into a device cache; fall back to
-        # the host loader for that split (which yields an empty epoch).
-        if len(train_ds) > 0:
-            train_loader = DeviceCachedLoader(
-                train_ds, batch_size=micro * accum, shuffle=True,
-                drop_last=True, seed=seed, storage_dtype=storage,
-            )
-        else:
-            train_loader = BatchLoader(
-                train_ds, batch_size=micro * accum, shuffle=True,
-                drop_last=True, seed=seed,
-            )
-        if len(val_ds) > 0:
-            val_loader = DeviceCachedLoader(
-                val_ds, batch_size=micro * accum, shuffle=False,
-                drop_last=False, seed=seed, pad_last=True,
-                storage_dtype=storage,
-            )
-        else:
-            val_loader = BatchLoader(
-                val_ds, batch_size=micro * accum, shuffle=False,
-                drop_last=False, seed=seed, pad_last=True,
-            )
+        cap = int(float(
+            config.get("data", {}).get("device_cache_max_gb", 4.0)) * 1e9)
+        train_loader = _device_cached_or_host(
+            train_ds, batch_size=micro * accum, shuffle=True,
+            drop_last=True, seed=seed, storage_dtype=storage, max_bytes=cap,
+        )
+        spent = getattr(train_loader, "nbytes", 0)
+        val_loader = _device_cached_or_host(
+            val_ds, batch_size=micro * accum, shuffle=False,
+            drop_last=False, seed=seed, pad_last=True,
+            storage_dtype=storage, max_bytes=max(0, cap - spent),
+        )
         return train_loader, val_loader
     train_loader = BatchLoader(
         train_ds, batch_size=micro * accum, shuffle=True, drop_last=True, seed=seed
@@ -322,9 +347,11 @@ def get_test_dataloader(config: dict, batch_size: Optional[int] = None):
     # the trailing batch is unbiased AND reuses the one compiled shape.
     storage = config.get("data", {}).get("device_cache_dtype", "auto")
     if len(ds) > 0 and _device_cache_enabled(config, _tile_nbytes(ds, storage)):
-        return DeviceCachedLoader(
+        cap = int(float(
+            config.get("data", {}).get("device_cache_max_gb", 4.0)) * 1e9)
+        return _device_cached_or_host(
             ds, batch_size=bs, shuffle=False, drop_last=False, pad_last=True,
-            storage_dtype=storage,
+            storage_dtype=storage, max_bytes=cap,
         )
     return BatchLoader(ds, batch_size=bs, shuffle=False, drop_last=False,
                        pad_last=True)

@@ -194,6 +194,32 @@ def _band_plan(ys: list, window: int, stride: int, band_origin_rows: int):
     return groups, g * stride + window
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnums=(4,))
+def _carry_into(next_out, next_w, prev_out, prev_w, carry_rows, offset):
+    """Add the seam tail of the previous band's accumulators (rows
+    [offset, offset+carry_rows) there = rows [0, carry_rows) here).
+
+    Module-level so repeated scene restores hit the jit cache (a fresh
+    closure per call would recompile ~1-6 s each through the relay)."""
+    _, w, c = prev_out.shape
+    tail_o = jax.lax.dynamic_slice(
+        prev_out, (offset, 0, 0), (carry_rows, w, c))
+    tail_w = jax.lax.dynamic_slice(
+        prev_w, (offset, 0, 0), (carry_rows, w, 1))
+    next_out = jax.lax.dynamic_update_slice(
+        next_out, next_out[:carry_rows] + tail_o, (0, 0, 0))
+    next_w = jax.lax.dynamic_update_slice(
+        next_w, next_w[:carry_rows] + tail_w, (0, 0, 0))
+    return next_out, next_w
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnums=(2,))
+def _finalize_band(out_sum, w_sum, out_dtype):
+    # Padded rows have zero weight; the guard keeps them finite (they
+    # are cropped on host). ``out_dtype`` is a (hashable) np.dtype.
+    return (out_sum / jnp.maximum(w_sum, 1e-12)).astype(out_dtype)
+
+
 def restore_scene_streaming(
     model,
     variables,
@@ -263,56 +289,45 @@ def restore_scene_streaming(
         raise ValueError("streaming restore needs a make_device_scene_step "
                          f"step, got assembly={step.assembly!r}")
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnums=(4,))
-    def carry_into(next_out, next_w, prev_out, prev_w, carry_rows, offset):
-        """Add the seam tail of the previous band's accumulators (rows
-        [offset, offset+carry_rows) there = rows [0, carry_rows) here)."""
-        tail_o = jax.lax.dynamic_slice(
-            prev_out, (offset, 0, 0), (carry_rows, w, c))
-        tail_w = jax.lax.dynamic_slice(
-            prev_w, (offset, 0, 0), (carry_rows, w, 1))
-        next_out = jax.lax.dynamic_update_slice(
-            next_out, next_out[:carry_rows] + tail_o, (0, 0, 0))
-        next_w = jax.lax.dynamic_update_slice(
-            next_w, next_w[:carry_rows] + tail_w, (0, 0, 0))
-        return next_out, next_w
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def finalize(out_sum, w_sum):
-        # Padded rows have zero weight; the guard keeps them finite (they
-        # are cropped on host).
-        return (out_sum / jnp.maximum(w_sum, 1e-12)).astype(
-            jnp.dtype(output_dtype))
-
     # --- uploader: ship band pixel rows ahead of compute (depth-2 queue
-    # keeps at most one band in flight beyond the one computing).
+    # keeps at most one band in flight beyond the one computing). The
+    # trailing None sentinel doubles as the failure signal: on an
+    # uploader error the main loop sees it early and surfaces `errors`.
     upload_q: _queue.Queue = _queue.Queue(maxsize=2)
-
-    def uploader():
-        for y_start, _sub in groups:
-            rows = scene[y_start : y_start + band_h]
-            if rows.shape[0] < band_h:  # last band: flush-bottom padding
-                rows = np.pad(
-                    rows, ((0, band_h - rows.shape[0]), (0, 0), (0, 0)))
-            upload_q.put(jnp.asarray(rows))
-        upload_q.put(None)
-
-    # --- downloader: device_get blocks, so drain on a thread.
-    out_host = np.zeros((h, w, c), dtype=output_dtype)
-    download_q: _queue.Queue = _queue.Queue(maxsize=2)
     errors: list = []
 
-    def downloader():
+    def uploader():
         try:
-            while True:
-                item = download_q.get()
-                if item is None:
-                    return
+            for y_start, _sub in groups:
+                rows = scene[y_start : y_start + band_h]
+                if rows.shape[0] < band_h:  # last band: flush-bottom padding
+                    rows = np.pad(
+                        rows, ((0, band_h - rows.shape[0]), (0, 0), (0, 0)))
+                upload_q.put(jnp.asarray(rows))
+        except Exception as e:  # pragma: no cover - exercised via errors[]
+            errors.append(e)
+        finally:
+            upload_q.put(None)
+
+    # --- downloader: device_get blocks, so drain on a thread. After a
+    # failure it keeps DRAINING (discarding) so the producer's bounded
+    # put() never deadlocks; the error re-raises after join.
+    out_host = np.zeros((h, w, c), dtype=output_dtype)
+    download_q: _queue.Queue = _queue.Queue(maxsize=2)
+
+    def downloader():
+        while True:
+            item = download_q.get()
+            if item is None:
+                return
+            if errors:
+                continue
+            try:
                 dev, y_start, n_rows = item
                 out_host[y_start : y_start + n_rows] = np.asarray(
                     jax.device_get(dev))[:n_rows]
-        except Exception as e:  # pragma: no cover - surfaced by join below
-            errors.append(e)
+            except Exception as e:  # pragma: no cover - surfaced below
+                errors.append(e)
 
     up_t = threading.Thread(target=uploader, daemon=True)
     down_t = threading.Thread(target=downloader, daemon=True)
@@ -323,42 +338,52 @@ def restore_scene_streaming(
     w_sum = jnp.zeros((band_h, w, 1), jnp.float32)
     done_windows = 0
     total_windows = len(ys) * len(xs)
-    for k, (y_start, sub_ys) in enumerate(groups):
-        band = upload_q.get()
-        origins = np.asarray(
-            [(y - y_start, x) for y in sub_ys for x in xs], np.int32)
-        for i in range(0, len(origins), batch_size):
-            chunk = origins[i : i + batch_size]
-            valid = np.ones(len(chunk), np.float32)
-            if len(chunk) < batch_size:
-                pad = batch_size - len(chunk)
-                chunk = np.concatenate(
-                    [chunk, np.zeros((pad, 2), np.int32)], axis=0)
-                valid = np.concatenate([valid, np.zeros(pad, np.float32)])
-            out_sum, w_sum = step(band, out_sum, w_sum,
-                                  jnp.asarray(chunk), jnp.asarray(valid))
-            done_windows += int(valid.sum())
-            if progress:
-                progress(done_windows, total_windows)
-        if k + 1 < len(groups):
-            next_start = groups[k + 1][0]
-            offset = next_start - y_start
-            next_out = jnp.zeros((band_h, w, c), jnp.float32)
-            next_w = jnp.zeros((band_h, w, 1), jnp.float32)
-            next_out, next_w = carry_into(
-                next_out, next_w, out_sum, w_sum, window,
-                jnp.int32(offset))
-            n_final = next_start - y_start  # rows owned solely by band k
-        else:
-            n_final = min(band_h, h - y_start)
-        download_q.put((finalize(out_sum, w_sum), y_start, n_final))
-        if k + 1 < len(groups):
-            out_sum, w_sum = next_out, next_w
-    download_q.put(None)
-    up_t.join()
-    down_t.join()
+    out_np_dtype = np.dtype(output_dtype)
+    try:
+        for k, (y_start, sub_ys) in enumerate(groups):
+            band = upload_q.get()
+            if band is None:  # uploader failed before finishing
+                break
+            origins = np.asarray(
+                [(y - y_start, x) for y in sub_ys for x in xs], np.int32)
+            for i in range(0, len(origins), batch_size):
+                chunk = origins[i : i + batch_size]
+                valid = np.ones(len(chunk), np.float32)
+                if len(chunk) < batch_size:
+                    pad = batch_size - len(chunk)
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((pad, 2), np.int32)], axis=0)
+                    valid = np.concatenate([valid, np.zeros(pad, np.float32)])
+                out_sum, w_sum = step(band, out_sum, w_sum,
+                                      jnp.asarray(chunk), jnp.asarray(valid))
+                done_windows += int(valid.sum())
+                if progress:
+                    progress(done_windows, total_windows)
+            if k + 1 < len(groups):
+                next_start = groups[k + 1][0]
+                offset = next_start - y_start
+                next_out = jnp.zeros((band_h, w, c), jnp.float32)
+                next_w = jnp.zeros((band_h, w, 1), jnp.float32)
+                next_out, next_w = _carry_into(
+                    next_out, next_w, out_sum, w_sum, window,
+                    jnp.int32(offset))
+                n_final = next_start - y_start  # rows owned solely by band k
+            else:
+                n_final = min(band_h, h - y_start)
+            download_q.put(
+                (_finalize_band(out_sum, w_sum, out_np_dtype), y_start,
+                 n_final))
+            if k + 1 < len(groups):
+                out_sum, w_sum = next_out, next_w
+    finally:
+        # Always unblock the downloader; on an early exit the uploader may
+        # be parked on its bounded put(), so drain instead of joining it
+        # (daemon thread, exits with the sentinel already queued).
+        download_q.put(None)
+        down_t.join()
     if errors:
         raise errors[0]
+    up_t.join()
     return out_host[:h0, :w0]
 
 

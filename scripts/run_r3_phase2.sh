@@ -9,15 +9,25 @@
 #      protocol, mixed checkpoint on base-512 / rich-512 / mixed-512
 #
 # Same relay rules as phase 1: ONE TPU client at a time, settle gaps,
-# resumable markers. Waits for phase 1 to print its completion line.
+# resumable markers. Waits for phase 1 via the eval DONE markers that
+# run_r3_campaign.sh itself writes (its completion echo goes to stdout,
+# which is only in outputs/campaign.log if the operator redirected it
+# there — the grep is a fallback, not the contract).
 set -u
 cd "$(dirname "$0")/.."
 
 SETTLE=75
 LOG=outputs/campaign.log
 
+phase1_done() {
+  [ -f outputs/r3_skip/DONE ] && [ -f outputs/r3_base600/DONE ] \
+    && [ -f outputs/r3_capacity/DONE ] && [ -f outputs/r3_mixed/DONE ] \
+    && return 0
+  grep -q "campaign complete" "${LOG}" 2>/dev/null
+}
+
 echo "=== phase2: waiting for phase-1 completion ===" >> "${LOG}"
-while ! grep -q "campaign complete" "${LOG}"; do sleep 60; done
+while ! phase1_done; do sleep 60; done
 sleep ${SETTLE}
 
 run_train() {  # name cfg extra-args...

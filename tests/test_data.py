@@ -339,6 +339,45 @@ def test_tile_nbytes_estimates_post_narrowing_size():
     assert _tile_nbytes(frac, "auto") == one * len(frac)
 
 
+def test_device_cache_budget_revalidated_after_narrowing():
+    """_tile_nbytes halves the estimate from the FIRST tile; a mixed set
+    whose later tiles are fractional stays fp32 (2x the estimate), so the
+    loader must re-check the budget post-stacking and callers must fall
+    back to the host loader instead of overshooting HBM."""
+    from msid_tpu.data.pipeline import (
+        DeviceCachedLoader,
+        DeviceCacheTooLarge,
+        _device_cached_or_host,
+        _tile_nbytes,
+    )
+
+    class MixedTiles:
+        # tile 0 integral (narrowing looks possible), the rest fractional
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(i)
+            t = rng.integers(0, 10000, (8, 8, 13)).astype(np.float32)
+            return t if i == 0 else t + 0.5
+
+    ds = MixedTiles()
+    full = 6 * 8 * 8 * 13 * 4
+    assert _tile_nbytes(ds, "auto") == full // 2  # first-tile heuristic
+    # A cap between the estimate and the true size: the loader refuses…
+    with pytest.raises(DeviceCacheTooLarge):
+        DeviceCachedLoader(ds, batch_size=2, storage_dtype="auto",
+                           max_bytes=full // 2)
+    # …and the get_dataloaders helper falls back to the host loader.
+    loader = _device_cached_or_host(ds, batch_size=2, storage_dtype="auto",
+                                    max_bytes=full // 2)
+    assert not isinstance(loader, DeviceCachedLoader)
+    # With an honest budget the cache builds (fp32, full size).
+    ok = DeviceCachedLoader(ds, batch_size=2, storage_dtype="auto",
+                            max_bytes=full)
+    assert ok.nbytes == full
+
+
 def test_synthetic_mixed_tiles_match_pure_families():
     """'mixed' draws each tile from base or rich by a seeded per-index
     coin, and every mixed tile is bit-identical to the same-index tile of

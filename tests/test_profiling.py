@@ -50,23 +50,25 @@ def test_benchmark_fn_measures_real_time():
     assert stats["mean_ms"] >= 10.0
 
 
-def test_step_timer_math():
+def test_step_timer_math(monkeypatch):
     t = step_timer(window=4)
     assert t.tick(8) == {"steps_per_sec": 0.0, "images_per_sec": 0.0}
-    # fabricate deterministic stamps: 1 step / 0.5 s carrying 8 images
-    t._stamps = [(0.0, 0), (0.5, 8), (1.0, 8), (1.5, 8)]
-    out_now = t.tick(8)  # appends a real stamp; window trims to 4
-    assert len(t._stamps) == 4
-    # rebuild exact stamps to check the arithmetic itself
-    t._stamps = [(0.0, 0), (0.5, 8), (1.0, 8), (1.5, 8)]
-    dt = 1.5
-    expect_steps = 3 / dt
-    expect_imgs = 24 / dt
-    stats = {"steps_per_sec": (len(t._stamps) - 1) / dt,
-             "images_per_sec": sum(i for _, i in t._stamps[1:]) / dt}
-    assert stats["steps_per_sec"] == pytest.approx(expect_steps)
-    assert stats["images_per_sec"] == pytest.approx(expect_imgs)
-    assert set(out_now) == {"steps_per_sec", "images_per_sec"}
+    # Deterministic clock: tick() itself must compute 3 steps / 24 images
+    # over dt=1.5 s from the fabricated window.
+    t._stamps = [(0.0, 0), (0.5, 8), (1.0, 8)]
+    monkeypatch.setattr("msid_tpu.utils.profiling.time.perf_counter",
+                        lambda: 1.5)
+    stats = t.tick(8)
+    assert t._stamps == [(0.0, 0), (0.5, 8), (1.0, 8), (1.5, 8)]
+    assert stats["steps_per_sec"] == pytest.approx(3 / 1.5)
+    assert stats["images_per_sec"] == pytest.approx(24 / 1.5)
+    # Window trims the oldest stamp once full (window=4).
+    monkeypatch.setattr("msid_tpu.utils.profiling.time.perf_counter",
+                        lambda: 2.0)
+    stats = t.tick(4)
+    assert t._stamps == [(0.5, 8), (1.0, 8), (1.5, 8), (2.0, 4)]
+    assert stats["steps_per_sec"] == pytest.approx(3 / 1.5)
+    assert stats["images_per_sec"] == pytest.approx(20 / 1.5)
 
 
 def test_live_memory_contract():
