@@ -404,6 +404,67 @@ def test_restore_scene_streaming_undersized_scene(model_and_vars):
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_restore_scene_streaming_surfaces_worker_errors():
+    """A failing compute step or downloader must RAISE promptly — a worker
+    death must never leave the caller blocked on a bounded queue (the
+    relay playbook treats a wedged client as kill-by-PID territory)."""
+    import threading
+
+    from msid_tpu.deployment import sliding_window as sw
+
+    rng = np.random.default_rng(19)
+    scene = rng.uniform(0, 10000, (200, 96, 13)).astype(np.float32)
+
+    def run_guarded(fn):
+        box = {}
+
+        def target():
+            try:
+                fn()
+                box["result"] = "returned"
+            except Exception as e:
+                box["error"] = e
+
+        t = threading.Thread(target=target, daemon=True)
+        t.start()
+        t.join(timeout=60)
+        assert not t.is_alive(), "restore_scene_streaming deadlocked"
+        return box
+
+    # --- compute-step failure: raises on the 2nd band so the uploader is
+    # parked on its bounded put() at failure time.
+    calls = {"n": 0}
+
+    def boom_step(band, out_sum, w_sum, chunk, valid):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("synthetic step failure")
+        return out_sum, w_sum
+
+    boom_step.assembly = "device"
+    box = run_guarded(lambda: sw.restore_scene_streaming(
+        None, None, scene, window=64, overlap=16, model_size=64,
+        batch_size=64, band_origin_rows=1, step=boom_step))
+    assert "synthetic step failure" in str(box["error"])
+
+    # --- downloader failure: device_get raising must re-raise after the
+    # drain, not block the producer on a full download queue.
+    def ok_step(band, out_sum, w_sum, chunk, valid):
+        return out_sum, w_sum
+
+    ok_step.assembly = "device"
+    real_device_get = sw.jax.device_get
+    sw.jax.device_get = lambda *_a, **_k: (_ for _ in ()).throw(
+        RuntimeError("synthetic download failure"))
+    try:
+        box = run_guarded(lambda: sw.restore_scene_streaming(
+            None, None, scene, window=64, overlap=16, model_size=64,
+            batch_size=64, band_origin_rows=1, step=ok_step))
+    finally:
+        sw.jax.device_get = real_device_get
+    assert "synthetic download failure" in str(box["error"])
+
+
 def test_restore_scene_output_dtype(model_and_vars):
     """output_dtype=float16 halves the scene download; values must round
     to the fp32 result within half-precision ulp, on both paths."""
