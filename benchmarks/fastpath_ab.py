@@ -59,6 +59,10 @@ def main():
     p.add_argument("--parts", action="store_true",
                    help="also A/B decoder/encoder lowering variants at the largest batch")
     p.add_argument("--iters", type=int, default=40)
+    p.add_argument("--arch", default="unet_light",
+                   help="decoder architecture (unet_light / unet_skip) — "
+                        "the r3 quality winner unet_skip adds an "
+                        "InputPyramid stem + per-stage fuse convs")
     args = p.parse_args()
 
     import jax
@@ -73,7 +77,8 @@ def main():
     )
     from msid_tpu.models import SatMAERestoration, init_model
 
-    model = SatMAERestoration(dtype=jnp.bfloat16, gradient_checkpointing=False)
+    model = SatMAERestoration(dtype=jnp.bfloat16, gradient_checkpointing=False,
+                              decoder_arch=args.arch)
     variables = init_model(model, jax.random.PRNGKey(0))
     fp = optimize_for_inference(model, variables, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
@@ -98,7 +103,10 @@ def main():
             print(f"B={b:3d} {name}: {ms:8.3f} ms/iter ({ms / b * 1e3:7.1f} us/img)",
                   flush=True)
 
-    if args.parts:
+    if args.parts and args.arch != "unet_light":
+        print("--parts lowering probes are unet_light-only (the skip "
+              "decoder's stage inputs depend on the stem); skipping")
+    elif args.parts:
         bmax = max(batches)
         grid = model.image_size // model.patch_size
         tok = jnp.asarray(
