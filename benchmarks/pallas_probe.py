@@ -133,6 +133,43 @@ def main():
         err = float(jnp.max(jnp.abs(fn(x, w1, w2, aff).astype(jnp.float32)
                                     - ref.astype(jnp.float32))))
         print(f"max|d| vs xla: {err:.4f}")
+    elif which == "any_dma":
+        # Toolchain gate for the halo-window kernel design (ops/
+        # pallas_decoder.py STATUS): a minimal ANY-space input ref +
+        # manual async copy into VMEM scratch. If this compiles and runs,
+        # the 1-read/1-write fused ResidualBlock with DMA'd overlapping
+        # halo windows becomes implementable — re-check once per round.
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def kernel(x_any, o_ref, scratch, sem):
+            cp = pltpu.make_async_copy(x_any, scratch, sem)
+            cp.start()
+            cp.wait()
+            o_ref[...] = scratch[...] * 2.0
+
+        rows = 8
+        xs = x[0, :rows].astype(jnp.float32)  # [rows, W, C]
+        try:
+            fn = pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct(xs.shape, xs.dtype),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM(xs.shape, xs.dtype),
+                    pltpu.SemaphoreType.DMA,
+                ],
+            )
+            got = jax.jit(fn)(xs)
+            ok = bool(jnp.allclose(got, xs * 2.0, atol=1e-6))
+            print(f"any_dma: COMPILES AND RUNS, correct={ok} "
+                  f"(jax {jax.__version__}) — halo-window kernel design "
+                  f"unblocked, revisit ops/pallas_decoder.py STATUS")
+        except Exception as e:
+            print(f"any_dma: still blocked on jax {jax.__version__}: "
+                  f"{type(e).__name__}: {str(e)[:200]}")
+        return
     else:
         raise SystemExit(f"unknown probe {which}")
 
