@@ -88,6 +88,40 @@ def test_sharded_eval_step(mesh, setup):
     assert float(ref["psnr"]) == pytest.approx(float(jax.device_get(sums["psnr"])), rel=1e-5)
 
 
+def test_sharded_matches_single_device_unet_skip(mesh):
+    """The r3 quality winner must hold the same DP-parity guarantee as the
+    flagship arch — including BatchNorm batch stats, whose mean/var
+    reductions must be GLOBAL-batch under GSPMD, not per-shard."""
+    model = SatMAERestoration(**dict(SMALL, norm="batch",
+                                     decoder_arch="unet_skip"))
+    variables = init_model(model, jax.random.PRNGKey(0))
+    tx = build_optimizer(optax.constant_schedule(1e-3),
+                         params=variables["params"])
+    state = TrainState.create(variables, tx)
+    batch = np.random.default_rng(3).uniform(
+        0, 10000, (16, 64, 64, 13)).astype(np.float32)
+    key = jax.random.PRNGKey(9)
+
+    single = make_train_step(model, tx, LossConfig(ssim_weight=0.0),
+                             NoiseConfig(), accum_steps=1, image_size=64)
+    s1, m1 = single(state, jnp.asarray(batch), key)
+
+    sharded = make_train_step(model, tx, LossConfig(ssim_weight=0.0),
+                              NoiseConfig(), accum_steps=1, image_size=64,
+                              mesh=mesh)
+    s8, m8 = sharded(replicate(state, mesh), shard_batch(batch, mesh), key)
+
+    assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=2e-4)
+    a = np.asarray(jax.device_get(
+        s1.variables["batch_stats"]["skip_stem"]["stem_norm"]["BatchNorm_0"]["mean"]))
+    b = np.asarray(jax.device_get(
+        s8.variables["batch_stats"]["skip_stem"]["stem_norm"]["BatchNorm_0"]["mean"]))
+    assert np.allclose(a, b, atol=1e-4)  # global-batch BN stats
+    pa = np.asarray(jax.device_get(s1.params["decoder"]["fuse_0"]["kernel"]))
+    pb = np.asarray(jax.device_get(s8.params["decoder"]["fuse_0"]["kernel"]))
+    assert np.allclose(pa, pb, atol=1e-4)
+
+
 def test_2d_mesh_construction():
     mesh = make_mesh(model_parallel=2)
     assert mesh.devices.shape == (4, 2)
