@@ -111,7 +111,7 @@ def read_tiff(path: str | Path) -> np.ndarray:
     sample_format = tags.get(_SAMPLE_FORMAT, (1,))[0]
 
     if sample_format == 3:
-        dtype = {32: np.float32, 64: np.float64}[bits]
+        dtype = {16: np.float16, 32: np.float32, 64: np.float64}[bits]
     elif sample_format == 2:
         dtype = {8: np.int8, 16: np.int16, 32: np.int32}[bits]
     else:

@@ -127,6 +127,11 @@ def main():
 
     scene = load_scene(args.input)
     logger.info("Scene %s: %s %s", args.input, scene.shape, scene.dtype)
+    want_bands = int(config["model"]["encoder"].get("input_channels", 13))
+    if scene.shape[2] != want_bands:
+        raise SystemExit(
+            f"scene has {scene.shape[2]} bands but the model expects "
+            f"{want_bands} (model.encoder.input_channels)")
 
     compute_dtype = (
         jnp.bfloat16 if config.get("training", {}).get("mixed_precision", True)
@@ -171,10 +176,13 @@ def main():
                 h * w / 1e6, dt, h * w / 1e6 / dt)
 
     if args.reflectance:
-        from msid_tpu.ops.preprocess import from_model_range
-
-        restored = np.asarray(
-            from_model_range(jnp.asarray(restored))).astype(out_dtype)
+        # Host-side numpy mirror of ops.preprocess.from_model_range: a full
+        # scene can be GBs, and routing it back through the device for a
+        # trivial affine would double the relay traffic (and can exceed HBM
+        # on 10980^2x13 scenes).
+        restored = np.clip(
+            restored.astype(np.float32) * 0.25 + 0.5, 0.0, 1.0
+        ).astype(out_dtype)
     save_scene(args.output, restored)
     logger.info("Wrote %s (%s, %s)", args.output, restored.shape,
                 restored.dtype)

@@ -18,10 +18,16 @@ sleep ${SETTLE}
 out=outputs/r3_skip_ext2
 if [ ! -f "${out}/TRAIN_DONE" ]; then
   mkdir -p "${out}"
-  echo "=== skip_ext2: training 1200->2400 $(date -u +%H:%M:%S) ===" >> "${LOG}"
+  # Resume from this run's own checkpoints if a prior attempt got partway
+  # (otherwise a rerun would restart at epoch 1200 and discard progress).
+  ckpt=outputs/r3_skip_ext/checkpoints
+  if [ -n "$(ls -A "${out}/checkpoints" 2>/dev/null)" ]; then
+    ckpt="${out}/checkpoints"
+  fi
+  echo "=== skip_ext2: training 1200->2400 (from ${ckpt}) $(date -u +%H:%M:%S) ===" >> "${LOG}"
   python scripts/train.py --config configs/experiments/long_skip.yaml \
       --synthetic --output-dir "${out}" --epochs 2400 \
-      --resume --checkpoint outputs/r3_skip_ext/checkpoints \
+      --resume --checkpoint "${ckpt}" \
       >"${out}/train.log" 2>&1 \
     && touch "${out}/TRAIN_DONE" \
     || echo "=== skip_ext2: TRAIN FAILED ===" >> "${LOG}"

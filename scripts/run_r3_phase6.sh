@@ -17,10 +17,16 @@ sleep ${SETTLE}
 out=outputs/r3_skip_data_ext
 if [ ! -f "${out}/TRAIN_DONE" ]; then
   mkdir -p "${out}"
-  echo "=== skip_data_ext: training 240->960 $(date -u +%H:%M:%S) ===" >> "${LOG}"
+  # Resume from this run's own checkpoints if a prior attempt got partway
+  # (otherwise a rerun would restart at epoch 240 and discard progress).
+  ckpt=outputs/r3_skip_data/checkpoints
+  if [ -n "$(ls -A "${out}/checkpoints" 2>/dev/null)" ]; then
+    ckpt="${out}/checkpoints"
+  fi
+  echo "=== skip_data_ext: training 240->960 (from ${ckpt}) $(date -u +%H:%M:%S) ===" >> "${LOG}"
   python scripts/train.py --config configs/experiments/long_skip_data.yaml \
       --synthetic --output-dir "${out}" --epochs 960 \
-      --resume --checkpoint outputs/r3_skip_data/checkpoints \
+      --resume --checkpoint "${ckpt}" \
       >"${out}/train.log" 2>&1 \
     && touch "${out}/TRAIN_DONE" \
     || echo "=== skip_data_ext: TRAIN FAILED ===" >> "${LOG}"

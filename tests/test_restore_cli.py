@@ -28,6 +28,32 @@ def test_scene_io_roundtrip_tiff_and_npy(tmp_path):
     assert load_scene(str(tmp_path / "g.npy")).shape == (40, 50, 1)
 
 
+def test_scene_io_roundtrip_float16_tiff(tmp_path):
+    # --output-dtype float16 writes SampleFormat=3/16-bit TIFF; the
+    # built-in reader must parse its own writer's half-float output.
+    rng = np.random.default_rng(4)
+    scene = rng.uniform(0, 1, (16, 24, 13)).astype(np.float16)
+    tif = tmp_path / "h.tif"
+    save_scene(str(tif), scene)
+    back = load_scene(str(tif))
+    assert back.dtype == np.float16
+    np.testing.assert_array_equal(back, scene)
+
+
+def test_reflectance_matches_device_from_model_range():
+    # restore.py applies the inverse affine host-side (a full scene is GBs
+    # and must not round-trip the device); pin it to the device formula.
+    import jax.numpy as jnp
+
+    from msid_tpu.ops.preprocess import from_model_range
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-3.5, 3.5, (7, 9, 13)).astype(np.float32)
+    host = np.clip(x.astype(np.float32) * 0.25 + 0.5, 0.0, 1.0)
+    dev = np.asarray(from_model_range(jnp.asarray(x)))
+    np.testing.assert_allclose(host, dev, atol=1e-7)
+
+
 def test_scene_io_rejects_unknown_formats(tmp_path):
     with pytest.raises(SystemExit, match="unsupported input"):
         load_scene(str(tmp_path / "scene.jp2"))
