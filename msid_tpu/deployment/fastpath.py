@@ -359,6 +359,7 @@ def make_hybrid_forward(model):
 
     def forward(variables: dict, x: jnp.ndarray) -> jnp.ndarray:
         b = x.shape[0]
+        x_in = x
         x = x.astype(model.dtype)
         enc_vars = {"params": {"encoder": variables["params"]["encoder"]}}
         tokens = model.apply(
@@ -372,7 +373,10 @@ def make_hybrid_forward(model):
             stem_stats=variables.get("batch_stats", {}).get("skip_stem"))
         skips = _stem_features(dec["stem"], x) if "stem" in dec else None
         y = tokens.reshape(b, grid, grid, model.embed_dim)
-        return _fast_decode(dec, y, matmul_upsample=False, skips=skips)
+        y = _fast_decode(dec, y, matmul_upsample=False, skips=skips)
+        if getattr(model, "residual_output", False):
+            y = y + x_in.astype(y.dtype)
+        return y
 
     return forward
 
@@ -400,6 +404,7 @@ def fast_forward(
     patch_size: int = 16,
     num_heads: int = 12,
     matmul_upsample: bool = True,
+    residual: bool = False,
 ) -> jnp.ndarray:
     """Optimized inference forward: NHWC noisy batch → restored batch.
 
@@ -419,6 +424,7 @@ def fast_forward(
     b, h, w, c = x.shape
     gh, gw = h // p, w // p
     n = gh * gw
+    x_in = x  # pre-cast input for the optional global residual
     x = x.astype(dtype)
 
     # patch embed as one matmul
@@ -448,8 +454,11 @@ def fast_forward(
     y = tokens.reshape(b, gh, gw, d)
     skips = (_stem_features(fast_params["stem"], x)
              if "stem" in fast_params else None)
-    return _fast_decode(fast_params, y, matmul_upsample=matmul_upsample,
-                        skips=skips)
+    y = _fast_decode(fast_params, y, matmul_upsample=matmul_upsample,
+                     skips=skips)
+    if residual:
+        y = y + x_in.astype(y.dtype)
+    return y
 
 
 def _fast_decode(fast_params: dict, y: jnp.ndarray, *, matmul_upsample: bool,
@@ -504,6 +513,7 @@ def make_hybrid_inference_fn(model):
 
     def infer(weights: dict, x: jnp.ndarray) -> jnp.ndarray:
         b = x.shape[0]
+        x_in = x
         x = x.astype(model.dtype)
         tokens = model.apply(
             weights["enc"], x, train=False,
@@ -512,8 +522,11 @@ def make_hybrid_inference_fn(model):
         skips = (_stem_features(weights["dec"]["stem"], x)
                  if "stem" in weights["dec"] else None)
         y = tokens.reshape(b, grid, grid, model.embed_dim)
-        return _fast_decode(weights["dec"], y, matmul_upsample=False,
-                            skips=skips)
+        y = _fast_decode(weights["dec"], y, matmul_upsample=False,
+                         skips=skips)
+        if getattr(model, "residual_output", False):
+            y = y + x_in.astype(y.dtype)
+        return y
 
     return infer
 
@@ -554,4 +567,5 @@ def make_fast_inference_fn(model, matmul_upsample: bool = True):
         patch_size=model.patch_size,
         num_heads=model.num_heads,
         matmul_upsample=matmul_upsample,
+        residual=getattr(model, "residual_output", False),
     )

@@ -47,11 +47,22 @@ class SatMAERestoration(nn.Module):
     decoder_channels: Sequence[int] = (384, 192, 96, 48)
     out_channels: int = 13
     norm: str = "batch"
+    # Global residual head: predict a correction to the noisy input instead
+    # of reconstructing from scratch (`model.decoder.residual: true`).
+    # Motivated by the floor study (docs/DESIGN.md §10): identity scores
+    # 50.35 dB on dead-band-free tiles while reconstruction through the
+    # token grid caps far lower — the residual makes identity free and
+    # spends all capacity on noise/dead-band correction (DnCNN-style).
+    residual_output: bool = False
     gradient_checkpointing: bool = True
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
 
     def setup(self):
+        if self.residual_output and self.out_channels != self.in_channels:
+            raise ValueError(
+                "residual output requires out_channels == in_channels, got "
+                f"{self.out_channels} != {self.in_channels}")
         self.encoder = SatMAEEncoder(
             image_size=self.image_size,
             patch_size=self.patch_size,
@@ -96,8 +107,11 @@ class SatMAERestoration(nn.Module):
         spatial = tokens.reshape(b, grid, grid, self.embed_dim)  # NHWC fold
         if self.decoder_arch == "unet_skip":
             skips = self.skip_stem(x.astype(self.dtype), train=train)
-            return self.decoder(spatial, skips, train=train)
-        out = self.decoder(spatial, train=train)  # [B, H, W, out_channels]
+            out = self.decoder(spatial, skips, train=train)
+        else:
+            out = self.decoder(spatial, train=train)  # [B, H, W, out_ch]
+        if self.residual_output:
+            out = out + x.astype(out.dtype)
         return out
 
     @classmethod
@@ -120,6 +134,7 @@ class SatMAERestoration(nn.Module):
             decoder_arch=str(dec.get("architecture", "unet_light")),
             decoder_channels=tuple(dec.get("channels", (384, 192, 96, 48))),
             out_channels=int(dec.get("output_channels", 13)),
+            residual_output=bool(dec.get("residual", False)),
             norm=str(dec.get("norm", "batch")),
             gradient_checkpointing=bool(enc.get("gradient_checkpointing", True)),
             dtype=dtype,

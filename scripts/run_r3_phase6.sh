@@ -4,14 +4,15 @@
 # +1.08 dB per 100 epochs (steepest tail in the campaign; 36.72 dB on the
 # 512 protocol already). Extend 240 -> 960 with the same SGDR-style
 # horizon rebuild that unlocked skip_ext (see run_r3_phase4.sh header).
-# Serialized behind phase 5 (one relay client at a time).
+# Serialized behind phase 7 (the cheap residual probe runs first so its
+# signal lands before this 3-h extension; one relay client at a time).
 set -u
 cd "$(dirname "$0")/.."
 
 SETTLE=75
 LOG=outputs/campaign.log
 
-while ! grep -q "phase5 complete" "${LOG}"; do sleep 60; done
+while ! grep -q "phase7 complete" "${LOG}"; do sleep 60; done
 sleep ${SETTLE}
 
 out=outputs/r3_skip_data_ext

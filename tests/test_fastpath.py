@@ -348,3 +348,43 @@ def test_session_auto_optimizes_skip():
     ya = small.predict(x)
     yb = big.predict(np.repeat(x, 8, axis=0))
     np.testing.assert_allclose(ya[0], yb[0], rtol=2e-4, atol=2e-5)
+
+
+# ---- global residual head (round 3: `model.decoder.residual: true`) ----
+
+def test_residual_graphs_match_model_fp32():
+    """All three optimized graphs (fastpath, hybrid, in-jit fold) must
+    carry the global residual add exactly like model.apply."""
+    from msid_tpu.deployment.fastpath import (
+        make_hybrid_forward,
+        make_hybrid_inference_fn,
+        optimize_for_hybrid,
+    )
+
+    model = _skip_model(residual_output=True)
+    variables = init_model(model, jax.random.PRNGKey(0))
+    variables = dict(variables)
+    variables["batch_stats"] = _random_stats(
+        variables["batch_stats"], jax.random.PRNGKey(1)
+    )
+    x = jax.random.uniform(
+        jax.random.PRNGKey(2), (2, 32, 32, 13), jnp.float32, -2.0, 2.0
+    )
+    ref = np.asarray(model.apply(variables, x, train=False))
+
+    # the flag must actually be wired in (not a no-op): same params without
+    # the residual differ by exactly the input
+    plain = _skip_model(residual_output=False)
+    base = np.asarray(plain.apply(variables, x, train=False))
+    np.testing.assert_allclose(ref, base + np.asarray(x), rtol=1e-6, atol=1e-6)
+
+    fp = optimize_for_inference(model, variables, dtype=jnp.float32)
+    got_fast = np.asarray(jax.jit(make_fast_inference_fn(model))(fp, x))
+    np.testing.assert_allclose(got_fast, ref, rtol=2e-4, atol=2e-5)
+
+    w = optimize_for_hybrid(model, variables, dtype=jnp.float32)
+    got_hyb = np.asarray(jax.jit(make_hybrid_inference_fn(model))(w, x))
+    np.testing.assert_allclose(got_hyb, ref, rtol=2e-4, atol=2e-5)
+
+    got_fold = np.asarray(jax.jit(make_hybrid_forward(model))(variables, x))
+    np.testing.assert_allclose(got_fold, ref, rtol=2e-4, atol=2e-5)
