@@ -165,15 +165,19 @@ def export_stablehlo(
         # Serialize fp32 weights (npz can't hold bfloat16 without pickling)
         # and record the compute dtype in meta.json; the module's avals are
         # the compute dtype, load_exported casts the payload to match.
+        # matmul upsample for unet_light, conv_transpose for unet_skip —
+        # same measured choice as InferenceSession's auto path.
+        mm = model.decoder_arch != "unet_skip"
         host_fp32 = optimize_for_inference(
-            model, variables, as_numpy=True, upsample="matmul"
+            model, variables, as_numpy=True,
+            upsample="matmul" if mm else "ct",
         )
         variables = jax.tree_util.tree_map(
             lambda a: a.astype(compute_dtype)
             if np.issubdtype(np.asarray(a).dtype, np.floating) else np.asarray(a),
             host_fp32,
         )
-        raw_infer = make_fast_inference_fn(model)
+        raw_infer = make_fast_inference_fn(model, matmul_upsample=mm)
     else:
         host_fp32 = None
         raw_infer = make_inference_fn(model)

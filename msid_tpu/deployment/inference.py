@@ -118,11 +118,18 @@ class InferenceSession:
                 small = batch_size <= FASTPATH_AUTO_MAX_BATCH
                 try:
                     if optimize is True or small:
+                        # Upsample lowering: matmul+depth-to-space wins at
+                        # small batch for unet_light, but for unet_skip the
+                        # conv_transpose form wins at every batch (measured
+                        # b=1: 2.06 vs 2.19 ms; b=8: 7.98 vs 8.66 —
+                        # benchmarks/fastpath_ab.py --arch unet_skip).
+                        mm = model.decoder_arch != "unet_skip"
                         variables = optimize_for_inference(
                             model, variables, dtype=model.dtype,
-                            upsample="matmul",
+                            upsample="matmul" if mm else "ct",
                         )
-                        infer = make_fast_inference_fn(model)
+                        infer = make_fast_inference_fn(
+                            model, matmul_upsample=mm)
                         self.optimized = "fastpath"
                     else:
                         variables = optimize_for_hybrid(

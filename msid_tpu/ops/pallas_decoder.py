@@ -51,6 +51,17 @@ benchmarks/decoder_ablation.py):
 
 Kept as negative-result documentation + a working example of the
 concat-roll/offset-0 Mosaic idioms; NOT wired into the model.
+
+Toolchain re-probe 2026-08-19 (jax 0.9.0, `benchmarks/pallas_probe.py
+any_dma`): ANY-space refs + manual async copy now COMPILE AND RUN on
+this toolchain — the halo-window-by-DMA design is no longer ICE-blocked.
+The economics above still close the case, though: the 4-block stitch
+was never the 6x factor (v3 already amortized it and sits at 10.2 ms vs
+XLA's ~1.7 ms/block in-graph), so removing the stitch via DMA cannot
+recover the gap; the binding constraint remains XLA's global layout
+assignment + MXU mapping on C<=96, which no Mosaic variant here has
+approached. Re-probe again if a future toolchain changes the in-graph
+ablation numbers (`benchmarks/decoder_ablation.py`), not just the gate.
 """
 
 from __future__ import annotations
