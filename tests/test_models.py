@@ -221,3 +221,43 @@ def test_unet_skip_from_config_and_train_step():
     before = jax.tree_util.tree_leaves(state.variables["params"])[0]
     after = jax.tree_util.tree_leaves(new_state.variables["params"])[0]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_residual_output_from_config_and_semantics():
+    """`model.decoder.residual: true` wires the global residual: same
+    params, residual output == plain output + input; config construction
+    and a train step both work; out_channels mismatch is rejected."""
+    import pytest as _pytest
+
+    config = {
+        "data": {"image_size": 32},
+        "model": {
+            "encoder": {"patch_size": 16, "input_channels": 13,
+                        "embed_dim": 64, "depth": 1, "num_heads": 4,
+                        "gradient_checkpointing": False},
+            "decoder": {"architecture": "unet_skip",
+                        "channels": [16, 8, 8, 8], "output_channels": 13,
+                        "residual": True},
+        },
+    }
+    model = SatMAERestoration.from_config(config)
+    assert model.residual_output
+    variables = init_model(model, jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 13),
+                           jnp.float32, -2.0, 2.0)
+    res = np.asarray(model.apply(variables, x, train=False))
+    plain = SatMAERestoration.from_config(
+        {**config, "model": {**config["model"],
+                             "decoder": {**config["model"]["decoder"],
+                                         "residual": False}}})
+    base = np.asarray(plain.apply(variables, x, train=False))
+    np.testing.assert_allclose(res, base + np.asarray(x),
+                               rtol=1e-6, atol=1e-6)
+
+    # shape contract: residual needs out_channels == in_channels
+    bad = SatMAERestoration(image_size=32, embed_dim=64, depth=1,
+                            num_heads=4, decoder_channels=(16, 8, 8, 8),
+                            out_channels=7, residual_output=True,
+                            gradient_checkpointing=False)
+    with _pytest.raises(ValueError, match="residual"):
+        init_model(bad, jax.random.PRNGKey(0))
