@@ -69,6 +69,13 @@ def main():
     results = {"device": str(jax.devices()[0]), "backend": jax.default_backend()}
     rng = np.random.default_rng(0)
 
+    out_path = Path(__file__).parent / "results.json"
+
+    def flush():
+        # Persist after every section so a wall-clock kill (the campaign
+        # runners bound this suite with `timeout`) keeps completed rows.
+        out_path.write_text(json.dumps(results, indent=2))
+
     model = SatMAERestoration(dtype=jnp.bfloat16, gradient_checkpointing=False)
     variables = init_model(model, jax.random.PRNGKey(0))
     forward = jax.jit(lambda v, x: model.apply(v, x, train=False))
@@ -83,6 +90,7 @@ def main():
     results["1_vs_reference"] = round(REFERENCE["single_image_ms"] / ms, 2)
     print(json.dumps({"bench": "single_image", "ms": round(ms, 3),
                       "vs_ref": results["1_vs_reference"]}))
+    flush()
 
     # -- 1b. single-image latency, fastpath (graph-optimized) -----------
     from msid_tpu.deployment.fastpath import (
@@ -95,6 +103,7 @@ def main():
     results["1b_vs_reference"] = round(REFERENCE["single_image_ms"] / ms, 2)
     print(json.dumps({"bench": "single_image_fastpath", "ms": round(ms, 3),
                       "vs_ref": results["1b_vs_reference"]}))
+    flush()
 
     # -- 2. batched eval with on-device metrics --------------------------
     eval_step = make_eval_step(model, LossConfig(), NoiseConfig(), image_size=192)
@@ -108,6 +117,7 @@ def main():
     results["2_eval_ms_per_batch64"] = round(ms, 2)
     results["2_eval_img_per_sec"] = round(64 * 1000 / ms, 1)
     print(json.dumps({"bench": "batched_eval", "img_per_sec": results["2_eval_img_per_sec"]}))
+    flush()
 
     # -- 3. input pipeline: preprocess + corruption ----------------------
     @jax.jit
@@ -119,6 +129,7 @@ def main():
     results["3_pipeline_ms_per_batch64"] = round(ms, 2)
     results["3_pipeline_img_per_sec"] = round(64 * 1000 / ms, 1)
     print(json.dumps({"bench": "input_pipeline", "img_per_sec": results["3_pipeline_img_per_sec"]}))
+    flush()
 
     # -- 4. transfer-learning train step ---------------------------------
     train_model = SatMAERestoration(dtype=jnp.bfloat16)  # remat on
@@ -146,6 +157,7 @@ def main():
     results["4_vs_reference"] = round(results["4_train_img_per_sec"] / REFERENCE["train_img_per_sec"], 2)
     print(json.dumps({"bench": "train_step", "img_per_sec": results["4_train_img_per_sec"],
                       "vs_ref": results["4_vs_reference"]}))
+    flush()
 
     # -- 5. sliding-window full scene -------------------------------------
     # Two device-side variants, same blend geometry and forward:
@@ -181,6 +193,7 @@ def main():
     results["5a_scene_device_assembly_mpix_per_sec"] = round(mpix / dt, 3)
     print(json.dumps({"bench": "full_scene_device_assembly",
                       "mpix_per_sec": results["5a_scene_device_assembly_mpix_per_sec"]}))
+    flush()
 
     restore_scene_streaming(model, variables, scene, window=64, overlap=16,
                             model_size=192, batch_size=64, step=scene_step)
@@ -196,8 +209,7 @@ def main():
                       "mpix_per_sec": results["5_scene_mpix_per_sec"],
                       "vs_device_assembly": results["5_scene_stream_speedup"]}))
 
-    out_path = Path(__file__).parent / "results.json"
-    out_path.write_text(json.dumps(results, indent=2))
+    flush()
     print(json.dumps({"report": str(out_path)}))
 
 
