@@ -73,8 +73,8 @@ def evaluate_model(
 
     ``tta`` > 1 self-ensembles over that many dihedral views of each
     noisy input (`msid_tpu.ops.tta`) before scoring. ``forward_impl``
-    selects the eval graph (see `make_eval_step`): "auto" serves the
-    folded-BN hybrid when the model supports it.
+    selects the eval graph (see `make_eval_step`): "auto" = "apply";
+    "hybrid" (folded-BN) is opt-in — measured slower in-step on v5e.
     """
     eval_step = make_eval_step(
         model,

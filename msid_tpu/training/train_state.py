@@ -295,13 +295,17 @@ def make_eval_step(
     `src/deployment/onnx_inference.py`):
 
       * "hybrid" — flax encoder + folded-BN conv_transpose decoder, with
-        the BN fold traced INSIDE the step (`fastpath.fold_decoder_jnp`,
-        a negligible elementwise preamble over the ~4M decoder params) so
-        live/EMA weights fold fresh every call with no host round-trip.
-        Measured ~6-11%% faster than `model.apply` at batch 64+ on v5e.
-      * "apply" — plain `model.apply` (the pre-r3 behavior).
-      * "auto" (default) — "hybrid" when the model config supports it
-        (unet_light/unet_skip decoder, BatchNorm), else "apply".
+        the BN fold traced INSIDE the step (`fastpath.fold_decoder_jnp`)
+        so live/EMA weights fold fresh every call with no host
+        round-trip. Measured A/B on v5e (outputs/r3_checks/eval_ab.py,
+        interleaved reps): the full eval step runs 83.8 ms/batch64 vs
+        67.8 for "apply" — the in-step fold + conv_transpose lowering
+        LOSES to XLA's global layout of the plain graph here (the
+        hybrid's 6%% forward-only win at b=128 does not carry over), so
+        it is opt-in, not the default.
+      * "apply" (what "auto" resolves to) — plain `model.apply`.
+      * "auto" (default) — "apply"; kept so configs may pin "hybrid"
+        explicitly where a future toolchain makes it win.
 
     ``tta`` > 1 self-ensembles the forward over the first ``tta`` dihedral
     views of the noisy input (`msid_tpu.ops.tta`): ~``tta``x eval FLOPs
@@ -328,14 +332,14 @@ def make_eval_step(
         raise ValueError(
             f"forward_impl must be auto|apply|hybrid, got {forward_impl!r}")
     hybrid_forward = None
-    if forward_impl != "apply":
+    if forward_impl == "hybrid":
         from msid_tpu.deployment.fastpath import (
             make_hybrid_forward, supports_fastpath,
         )
 
         if supports_fastpath(model):
             hybrid_forward = make_hybrid_forward(model)
-        elif forward_impl == "hybrid":
+        else:
             raise ValueError(
                 f"forward_impl='hybrid' needs a unet_light/unet_skip decoder "
                 f"with batch norm, got {model.decoder_arch}/{model.norm}")
