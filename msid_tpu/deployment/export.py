@@ -137,8 +137,10 @@ def export_stablehlo(
     With ``optimize`` the artifact contains the fastpath graph (fused
     QKV, folded BN — deployment.fastpath; the reference exports its
     onnxslim-simplified model the same way, optimize_model.py:16-75) and
-    the rewritten weight tree. Best for small-batch serving (see
-    inference.FASTPATH_AUTO_MAX_BATCH); raises ``ValueError`` for model
+    the rewritten weight tree. NB the round-4 A/B measured plain
+    `model.apply` marginally faster at small batch on v5e (see
+    deployment/fastpath.py header), so this is an explicit opt-in, not
+    what ``optimize="auto"`` serves; raises ``ValueError`` for model
     configs the fastpath does not support. Not combinable with
     ``int8_weights`` (the quantizer targets flax kernel names).
 

@@ -19,13 +19,17 @@ inference-optimal form, and run a leaner forward:
   * **Patch embed as matmul** — non-overlapping 16x16 patches are a
     reshape/transpose, then one [B*144, 3328] @ [3328, 768] matmul.
 
-This cuts the b=1 dispatch count (the model is launch-bound at batch 1)
-and removes HBM round-trips between conv and norm: b=1 latency 1.46 ms
-vs 1.80 for `model.apply` on one v5e chip (200-iter pipelined loops). In the HBM/MXU-bound
-large-batch regime the full fastpath LOSES (see
-benchmarks/fastpath_ab.py); there the winning graph is the hybrid
-(:func:`make_hybrid_inference_fn`) — flax encoder + the folded-BN
-conv_transpose decoder, 58.2 vs 61.8 ms at b=128.
+This cuts the b=1 dispatch count and removes HBM round-trips between conv
+and norm. Measured standing (round-4 A/B, outputs/r4_checks/
+fastpath_ab.log, 200-iter pipelined loops, two interleaved reps, v5e):
+plain `model.apply` now leads at small batch (b=1: 1.23 ms vs 1.25
+fast_ct / 1.35 fast_mm — the round-1 1.46-vs-1.80 fastpath edge did not
+survive the toolchain), so `optimize="auto"` never picks the full
+fastpath; it remains available explicitly (`optimize=True`) and as an
+export target. In the HBM/MXU-bound large-batch regime the winning graph
+is the hybrid (:func:`make_hybrid_inference_fn`) — flax encoder + the
+folded-BN conv_transpose decoder, b=8 6.43 vs 6.86 ms, b=128 58.2 vs
+61.8 ms — which `auto` selects from inference.HYBRID_AUTO_MIN_BATCH up.
 
 Numerics are validated against `model.apply` in fp32
 (tests/test_fastpath.py); supported configs are the flagship `unet_light`
@@ -342,9 +346,13 @@ def fold_decoder_jnp(dec_params, dec_stats, num_stages: int,
 
 def supports_fastpath(model) -> bool:
     """True when the model config matches the hand-scheduled graphs
-    (unet_light or unet_skip decoder with BatchNorm)."""
+    (unet_light or unet_skip decoder with BatchNorm). Models with the
+    dead-band fill input stage (`input_fill`, ops/fill.py) are served
+    through `model.apply` — the hand-scheduled graphs don't reproduce
+    the detect/fill/conditioning prologue."""
     return (model.decoder_arch in ("unet_light", "unet_skip")
-            and model.norm == "batch")
+            and model.norm == "batch"
+            and not getattr(model, "input_fill", False))
 
 
 def make_hybrid_forward(model):

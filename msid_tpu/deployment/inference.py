@@ -25,12 +25,19 @@ from msid_tpu.deployment.export import load_exported, make_inference_fn
 
 logger = logging.getLogger(__name__)
 
-# Largest batch at which optimize="auto" picks the fastpath. The fastpath
-# wins in the launch-bound regime (b=1: 1.46 vs 1.80 ms on v5e,
-# 200-iteration pipelined loops) and loses in the HBM/MXU-bound regime
-# (b=128: 101 vs 61.8 ms); b=8 is already a wash (7.65 vs 7.51 —
-# benchmarks/fastpath_ab.py), hence the conservative threshold.
-FASTPATH_AUTO_MAX_BATCH = 4
+# Largest batch at which optimize="auto" picks the fastpath. Re-measured
+# round 4 (outputs/r4_checks/fastpath_ab.log, two interleaved reps of
+# benchmarks/fastpath_ab.py, 200-iteration pipelined loops, v5e): plain
+# `model.apply` now wins every small batch (b=1: 1.23 ms vs 1.25 fast_ct /
+# 1.35 fast_mm; b=4: 3.28 vs 4.01 hybrid), so the full fastpath is never
+# auto-selected (0 = off; the round-1 "1.46 vs 1.80" b=1 edge did not
+# survive the toolchain). The hybrid still wins from b=8 up (6.43 vs 6.86;
+# b=128: 58.2 vs 61.8), hence HYBRID_AUTO_MIN_BATCH.
+FASTPATH_AUTO_MAX_BATCH = 0
+# Smallest batch at which optimize="auto" picks the hybrid graph (flax
+# encoder + folded-BN conv_transpose decoder). Below it, auto serves
+# plain `model.apply` (self.optimized = False).
+HYBRID_AUTO_MIN_BATCH = 8
 
 
 class InferenceSession:
@@ -56,12 +63,14 @@ class InferenceSession:
         optimize_model.py:16-75). "auto" (default) picks per batch size,
         falling back to `model.apply` for unsupported model configs:
 
-          * batch <= FASTPATH_AUTO_MAX_BATCH → full fastpath (fused QKV +
-            folded BN + upsample-as-matmul): launch-bound regime,
-            b=1 1.46 vs 1.80 ms on one v5e chip.
-          * larger batches → hybrid (flax encoder + folded-BN
-            conv_transpose decoder): HBM/MXU-bound regime, b=128 58.2 vs
-            61.8 ms.
+          * batch < HYBRID_AUTO_MIN_BATCH → plain `model.apply`: the
+            round-4 A/B (outputs/r4_checks/fastpath_ab.log) measured it
+            fastest at every small batch on v5e (b=1: 1.23 ms vs 1.25
+            fastpath / 1.46 hybrid), so `auto` no longer selects the
+            full fastpath anywhere (FASTPATH_AUTO_MAX_BATCH = 0).
+          * batch >= HYBRID_AUTO_MIN_BATCH → hybrid (flax encoder +
+            folded-BN conv_transpose decoder): HBM/MXU-bound regime,
+            b=8 6.43 vs 6.86 ms, b=128 58.2 vs 61.8 ms.
 
         True forces the full fastpath (raises for unsupported configs);
         False always uses `model.apply`. `self.optimized` records the
@@ -117,7 +126,12 @@ class InferenceSession:
 
                 small = batch_size <= FASTPATH_AUTO_MAX_BATCH
                 try:
-                    if optimize is True or small:
+                    if optimize == "auto" and not small and (
+                            batch_size < HYBRID_AUTO_MIN_BATCH):
+                        # Measured regime (r4 A/B): plain apply wins below
+                        # the hybrid crossover — auto keeps the raw graph.
+                        pass
+                    elif optimize is True or small:
                         # Upsample lowering: matmul+depth-to-space wins at
                         # small batch for unet_light, but for unet_skip the
                         # conv_transpose form wins at every batch (measured

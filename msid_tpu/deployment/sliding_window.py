@@ -295,10 +295,13 @@ def restore_scene_streaming(
     # uploader error the main loop sees it early and surfaces `errors`.
     upload_q: _queue.Queue = _queue.Queue(maxsize=2)
     errors: list = []
+    stop_upload = threading.Event()
 
     def uploader():
         try:
             for y_start, _sub in groups:
+                if stop_upload.is_set():  # main loop bailed — stop shipping
+                    return
                 rows = scene[y_start : y_start + band_h]
                 if rows.shape[0] < band_h:  # last band: flush-bottom padding
                     rows = np.pad(
@@ -376,14 +379,23 @@ def restore_scene_streaming(
             if k + 1 < len(groups):
                 out_sum, w_sum = next_out, next_w
     finally:
-        # Always unblock the downloader; on an early exit the uploader may
-        # be parked on its bounded put(), so drain instead of joining it
-        # (daemon thread, exits with the sentinel already queued).
+        # Always unblock the downloader, then the uploader: on an early
+        # exit the uploader may be parked on its bounded put(), so signal
+        # it to stop producing and drain the queue until its sentinel (or
+        # the thread exits) before joining — otherwise a failed call leaks
+        # the thread plus up to queue-depth band-sized device buffers.
         download_q.put(None)
         down_t.join()
+        stop_upload.set()
+        while up_t.is_alive():
+            try:
+                if upload_q.get(timeout=0.2) is None:
+                    break
+            except _queue.Empty:
+                continue
+        up_t.join()
     if errors:
         raise errors[0]
-    up_t.join()
     return out_host[:h0, :w0]
 
 

@@ -39,6 +39,10 @@ class LightweightDecoder(nn.Module):
     num_residual_blocks: int = 2
     use_pixel_shuffle: bool = False
     norm: str = "batch"
+    # Zero-init the final 1×1 conv so the decoder starts as the exact zero
+    # function — set by the composite model under a global residual head,
+    # making `output = input (+0)` the true initialization (DnCNN-style).
+    zero_init_head: bool = False
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
 
@@ -61,7 +65,10 @@ class LightweightDecoder(nn.Module):
         )(x)
         x = Norm(self.norm, self.dtype, self.axis_name, name="head_norm")(x, train)
         x = nn.gelu(x)
-        x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="head_out")(x)
+        head_init = (nn.initializers.zeros if self.zero_init_head
+                     else nn.linear.default_kernel_init)
+        x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                    kernel_init=head_init, name="head_out")(x)
         return x
 
 
@@ -168,6 +175,7 @@ class SkipDecoder(nn.Module):
     num_residual_blocks: int = 2
     skip_width: int = 32
     norm: str = "batch"
+    zero_init_head: bool = False  # see LightweightDecoder.zero_init_head
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
 
@@ -208,7 +216,10 @@ class SkipDecoder(nn.Module):
         )(x)
         x = Norm(self.norm, self.dtype, self.axis_name, name="head_norm")(x, train)
         x = nn.gelu(x)
-        x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="head_out")(x)
+        head_init = (nn.initializers.zeros if self.zero_init_head
+                     else nn.linear.default_kernel_init)
+        x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                    kernel_init=head_init, name="head_out")(x)
         return x
 
 

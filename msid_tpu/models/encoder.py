@@ -109,7 +109,13 @@ class SatMAEEncoder(nn.Module):
         return (self.image_size // self.patch_size) ** 2
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 cond: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """``cond`` (optional ``[B, embed_dim]``) is added to every token
+        after the positional embedding — used by the composite model to
+        condition on the detected dead-band mask (`ops/fill.py`). Carries
+        no encoder parameters, so pretrained-weight conversion
+        (`models/convert.py`) is unaffected."""
         y = PatchEmbed(self.embed_dim, self.patch_size, self.dtype, name="patch_embed")(x)
 
         pos_embed = self.param(
@@ -118,6 +124,8 @@ class SatMAEEncoder(nn.Module):
             (1, self.num_patches, self.embed_dim),
         )
         y = y + pos_embed.astype(y.dtype)
+        if cond is not None:
+            y = y + cond[:, None, :].astype(y.dtype)
 
         block_cls = ViTBlock
         if self.gradient_checkpointing and train:

@@ -54,6 +54,17 @@ class SatMAERestoration(nn.Module):
     # token grid caps far lower — the residual makes identity free and
     # spends all capacity on noise/dead-band correction (DnCNN-style).
     residual_output: bool = False
+    # Dead-band-aware input stage (`model.input_fill.enabled`, ops/fill.py):
+    # detect killed bands from the input's per-channel RMS (no oracle),
+    # replace them with the best linear cross-band prediction under the
+    # train-fit Gram matrix (the `fill_gram` param — identity until
+    # `setup_helpers` fits it, so an unfitted model behaves exactly like a
+    # fill-less one), and condition the encoder on the detected mask via a
+    # zero-init Dense. With `residual_output` the identity then scores the
+    # measured 46.4-dB zero-skill floor (docs/DESIGN.md §10) at init and
+    # all capacity goes to improving on it.
+    input_fill: bool = False
+    fill_rms_thresh: float = 0.05
     gradient_checkpointing: bool = True
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
@@ -63,6 +74,19 @@ class SatMAERestoration(nn.Module):
             raise ValueError(
                 "residual output requires out_channels == in_channels, got "
                 f"{self.out_channels} != {self.in_channels}")
+        if self.input_fill and self.out_channels != self.in_channels:
+            raise ValueError(
+                "input_fill requires out_channels == in_channels, got "
+                f"{self.out_channels} != {self.in_channels}")
+        if self.input_fill:
+            self.fill_gram = self.param(
+                "fill_gram", lambda key, shape: jnp.eye(shape[0], dtype=jnp.float32),
+                (self.in_channels + 1, self.in_channels + 1))
+            # Mask conditioning: zero-init so the pretrained/converted
+            # encoder forward is bit-unchanged at init.
+            self.mask_cond = nn.Dense(
+                self.embed_dim, kernel_init=nn.initializers.zeros,
+                dtype=jnp.float32, name="mask_cond")
         self.encoder = SatMAEEncoder(
             image_size=self.image_size,
             patch_size=self.patch_size,
@@ -74,13 +98,18 @@ class SatMAERestoration(nn.Module):
             dtype=self.dtype,
         )
         decoder_cls = DECODER_REGISTRY[self.decoder_arch]
-        self.decoder = decoder_cls(
+        decoder_kwargs = dict(
             channels=tuple(self.decoder_channels),
             out_channels=self.out_channels,
             norm=self.norm,
             dtype=self.dtype,
             axis_name=self.axis_name,
         )
+        if self.residual_output and self.decoder_arch in ("unet_light", "unet_skip"):
+            # Under a residual head, start as the exact identity: the
+            # decoder's final conv is zero-init so output = input at step 0.
+            decoder_kwargs["zero_init_head"] = True
+        self.decoder = decoder_cls(**decoder_kwargs)
         if self.decoder_arch == "unet_skip":
             # Skip stem: multi-scale features of the raw input bypass the
             # token-grid bottleneck (see models/decoder.py InputPyramid —
@@ -102,7 +131,16 @@ class SatMAERestoration(nn.Module):
         )
         assert c == self.in_channels, f"expected {self.in_channels} bands, got {c}"
 
-        tokens = self.encoder(x, train=train)  # [B, N, D]
+        cond = None
+        if self.input_fill:
+            from msid_tpu.ops.fill import detect_and_fill
+
+            filled, alive = detect_and_fill(
+                x, self.fill_gram, rms_thresh=self.fill_rms_thresh)
+            cond = self.mask_cond(alive.reshape(b, self.in_channels))
+            x = filled.astype(self.dtype)
+
+        tokens = self.encoder(x, train=train, cond=cond)  # [B, N, D]
         grid = self.image_size // self.patch_size
         spatial = tokens.reshape(b, grid, grid, self.embed_dim)  # NHWC fold
         if self.decoder_arch == "unet_skip":
@@ -111,6 +149,8 @@ class SatMAERestoration(nn.Module):
         else:
             out = self.decoder(spatial, train=train)  # [B, H, W, out_ch]
         if self.residual_output:
+            # With input_fill, x is already the filled tile — the residual
+            # baseline is then the 46.4-dB linear_fill, not the raw noisy.
             out = out + x.astype(out.dtype)
         return out
 
@@ -135,6 +175,10 @@ class SatMAERestoration(nn.Module):
             decoder_channels=tuple(dec.get("channels", (384, 192, 96, 48))),
             out_channels=int(dec.get("output_channels", 13)),
             residual_output=bool(dec.get("residual", False)),
+            input_fill=bool(
+                config["model"].get("input_fill", {}).get("enabled", False)),
+            fill_rms_thresh=float(
+                config["model"].get("input_fill", {}).get("rms_thresh", 0.05)),
             norm=str(dec.get("norm", "batch")),
             gradient_checkpointing=bool(enc.get("gradient_checkpointing", True)),
             dtype=dtype,

@@ -13,6 +13,12 @@ from msid_tpu.ops.metrics import (
     rmse_per_sample,
     sam_per_sample,
 )
+from msid_tpu.ops.fill import (
+    detect_alive,
+    detect_and_fill,
+    fit_gram,
+    linear_fill,
+)
 from msid_tpu.ops.noise import NoiseConfig, apply_sensor_noise
 from msid_tpu.ops.preprocess import (
     from_model_range,
@@ -34,10 +40,14 @@ __all__ = [
     "calculate_rmse",
     "calculate_sam",
     "calculate_ssim",
+    "detect_alive",
+    "detect_and_fill",
     "dihedral_ensemble",
     "dihedral_inverse",
     "dihedral_transform",
+    "fit_gram",
     "from_model_range",
+    "linear_fill",
     "mae_per_sample",
     "normalize_raw",
     "preprocess_tiles",

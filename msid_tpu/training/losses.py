@@ -35,6 +35,11 @@ class LossConfig:
     mse_weight: float = 1.0
     ssim_weight: float = 0.1
     perceptual_weight: float = 0.0
+    # Optional spectral-angle term (`training.loss.sam_weight`, default
+    # off). No reference counterpart — added because SAM is one of the
+    # reference's three headline metrics (README.md:28) that MSE+SSIM
+    # training leaves unoptimized.
+    sam_weight: float = 0.0
     data_range: float = DEFAULT_DATA_RANGE
 
     @classmethod
@@ -44,6 +49,7 @@ class LossConfig:
             mse_weight=float(loss.get("mse_weight", 1.0)),
             ssim_weight=float(loss.get("ssim_weight", 0.1)),
             perceptual_weight=float(loss.get("perceptual_weight", 0.0)),
+            sam_weight=float(loss.get("sam_weight", 0.0)),
         )
 
 
@@ -61,6 +67,37 @@ def ssim_loss(
 ) -> jnp.ndarray:
     """1 − mean SSIM (reference losses.py:165-189)."""
     return 1.0 - ssim(pred, target, data_range)
+
+
+def sam_loss_per_sample(
+    pred: jnp.ndarray, target: jnp.ndarray, epsilon: float = 1e-8
+) -> jnp.ndarray:
+    """Per-sample mean spectral angle in RADIANS, fp32 [B] — the
+    differentiable form of `ops.metrics.sam_per_sample`.
+
+    Computed as ``atan2(sin, cos)`` instead of ``arccos(cos)``: arccos'
+    derivative blows up as the restoration approaches the target
+    (cos→1 — exactly where a converging model lives), while atan2 has a
+    bounded gradient everywhere. Values match the metric (converted to
+    degrees) to ~1e-3°; only the gradient path differs.
+    """
+    p = pred.astype(jnp.float32)
+    t = target.astype(jnp.float32)
+    dot = jnp.sum(p * t, axis=-1)
+    p_sq = jnp.sum(p * p, axis=-1)
+    t_sq = jnp.sum(t * t, axis=-1)
+    norm_prod = (jnp.sqrt(p_sq) + epsilon) * (jnp.sqrt(t_sq) + epsilon)
+    cos = dot / norm_prod
+    # sin from the Gram determinant: |x|²|y|² − (x·y)² = |x∧y|² ≥ 0.
+    sin_sq = jnp.maximum(p_sq * t_sq - dot * dot, 0.0)
+    sin = jnp.sqrt(sin_sq + epsilon * epsilon) / norm_prod
+    angle = jnp.arctan2(sin, cos)
+    return jnp.mean(angle, axis=(1, 2))
+
+
+def sam_loss(pred: jnp.ndarray, target: jnp.ndarray, epsilon: float = 1e-8) -> jnp.ndarray:
+    """Scalar mean spectral angle in radians (see `sam_loss_per_sample`)."""
+    return jnp.mean(sam_loss_per_sample(pred, target, epsilon))
 
 
 _SOBEL_X = jnp.asarray([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32) / 8.0
@@ -116,6 +153,8 @@ def combined_loss_per_sample(
         total = total + cfg.ssim_weight * (
             1.0 - ssim_per_sample(pred, target, cfg.data_range)
         )
+    if cfg.sam_weight > 0:
+        total = total + cfg.sam_weight * sam_loss_per_sample(pred, target)
     if cfg.perceptual_weight > 0:
         if vgg_params is not None:
             from msid_tpu.training.perceptual import vgg_perceptual_per_sample
@@ -162,6 +201,10 @@ def combined_loss(
         s = ssim_loss(pred, target, cfg.data_range)
         aux["ssim_loss"] = s
         total = total + cfg.ssim_weight * s
+    if cfg.sam_weight > 0:
+        sa = sam_loss(pred, target)
+        aux["sam_loss"] = sa
+        total = total + cfg.sam_weight * sa
     if cfg.perceptual_weight > 0:
         if vgg_params is not None:
             from msid_tpu.training.perceptual import vgg_perceptual_loss

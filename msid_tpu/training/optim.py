@@ -33,6 +33,11 @@ def label_params(params, freeze_layers: Sequence[int] = ()) -> dict:
 
     def _label(path, _leaf) -> str:
         keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        if "fill_gram" in keys:
+            # The train-fit cross-band Gram (ops/fill.py) is a measured
+            # statistic, not a weight: AdamW weight decay would pull it
+            # toward zero-fill, so it stays frozen.
+            return "frozen"
         if "encoder" in keys:
             if any(k in frozen_names for k in keys):
                 return "frozen"

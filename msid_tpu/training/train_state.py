@@ -297,7 +297,7 @@ def make_eval_step(
       * "hybrid" — flax encoder + folded-BN conv_transpose decoder, with
         the BN fold traced INSIDE the step (`fastpath.fold_decoder_jnp`)
         so live/EMA weights fold fresh every call with no host
-        round-trip. Measured A/B on v5e (outputs/r3_checks/eval_ab.py,
+        round-trip. Measured A/B on v5e (benchmarks/eval_forward_ab.py,
         interleaved reps): the full eval step runs 83.8 ms/batch64 vs
         67.8 for "apply" — the in-step fold + conv_transpose lowering
         LOSES to XLA's global layout of the plain graph here (the

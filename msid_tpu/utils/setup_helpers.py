@@ -185,6 +185,19 @@ def setup_training_session(
             "pretrained_path %s not found — training from scratch", pretrained
         )
 
+    if getattr(model, "input_fill", False):
+        # Fit the cross-band Gram for the dead-band fill stage
+        # (ops/fill.py) over the full train split. One pass over the
+        # tiles (~seconds); a checkpoint restore later replaces this
+        # with the run's own fitted value.
+        import jax.numpy as jnp
+
+        from msid_tpu.ops.fill import fit_gram_from_config
+
+        logger.info("Fitting dead-band fill Gram on the train split...")
+        variables["params"]["fill_gram"] = jnp.asarray(
+            fit_gram_from_config(config))
+
     tx, schedule, _, _ = create_training_components(
         config, variables, steps_per_epoch=max(1, len(train_loader))
     )

@@ -123,20 +123,24 @@ def test_fastpath_rejects_unsupported():
 
 
 def test_session_auto_gates_fastpath_by_batch():
-    """optimize="auto" picks the full fastpath in its measured win region
-    (small batch, launch-bound) and the hybrid (flax encoder + folded
-    decoder) above it."""
-    from msid_tpu.deployment.inference import InferenceSession
+    """optimize="auto" serves each batch regime's measured winner
+    (outputs/r4_checks/fastpath_ab.log): plain `model.apply` below the
+    hybrid crossover — the full fastpath lost its small-batch edge on
+    the current toolchain — and the hybrid (flax encoder + folded
+    decoder) from HYBRID_AUTO_MIN_BATCH up."""
+    from msid_tpu.deployment.inference import (
+        HYBRID_AUTO_MIN_BATCH, InferenceSession,
+    )
 
     model = _tiny_model()
     variables = init_model(model, jax.random.PRNGKey(0))
 
     small = InferenceSession(model=model, variables=variables,
                              batch_size=1, image_size=32)
-    assert small.optimized == "fastpath"
+    assert small.optimized is False
 
     big = InferenceSession(model=model, variables=variables,
-                           batch_size=8, image_size=32)
+                           batch_size=HYBRID_AUTO_MIN_BATCH, image_size=32)
     assert big.optimized == "hybrid"
 
     forced = InferenceSession(model=model, variables=variables,
@@ -145,8 +149,10 @@ def test_session_auto_gates_fastpath_by_batch():
 
     x = np.random.default_rng(0).normal(0, 1, (1, 32, 32, 13)).astype(np.float32)
     ya = small.predict(x)
-    yb = big.predict(np.repeat(x, 8, axis=0))
+    yb = big.predict(np.repeat(x, HYBRID_AUTO_MIN_BATCH, axis=0))
+    yc = forced.predict(np.repeat(x, 8, axis=0))
     np.testing.assert_allclose(ya[0], yb[0], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(ya[0], yc[0], rtol=2e-4, atol=2e-5)
 
 
 def test_session_optimize_true_raises_on_unsupported():
@@ -339,22 +345,28 @@ def test_eval_step_hybrid_matches_apply_for_skip():
 
 
 def test_session_auto_optimizes_skip():
-    """InferenceSession auto-optimization must engage for unet_skip in both
-    batch regimes and agree across graphs."""
+    """InferenceSession auto-selection for unet_skip follows the same
+    measured policy (apply below the hybrid crossover, hybrid above) and
+    the explicit fastpath agrees numerically."""
     from msid_tpu.deployment.inference import InferenceSession
 
     model = _skip_model()
     variables = init_model(model, jax.random.PRNGKey(0))
     small = InferenceSession(model=model, variables=variables,
                              batch_size=1, image_size=32)
-    assert small.optimized == "fastpath"
+    assert small.optimized is False
+    forced = InferenceSession(model=model, variables=variables,
+                              batch_size=1, image_size=32, optimize=True)
+    assert forced.optimized == "fastpath"
     big = InferenceSession(model=model, variables=variables,
                            batch_size=8, image_size=32)
     assert big.optimized == "hybrid"
     x = np.random.default_rng(0).normal(0, 1, (1, 32, 32, 13)).astype(np.float32)
     ya = small.predict(x)
     yb = big.predict(np.repeat(x, 8, axis=0))
+    yc = forced.predict(x)
     np.testing.assert_allclose(ya[0], yb[0], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(ya[0], yc[0], rtol=2e-4, atol=2e-5)
 
 
 # ---- global residual head (round 3: `model.decoder.residual: true`) ----

@@ -227,3 +227,82 @@ def test_combined_loss_vgg_path(pair):
 
     ps = combined_loss_per_sample(noisy, clean, cfg, vgg_params=params)
     assert float(jnp.mean(ps)) == pytest.approx(float(total_vgg), rel=1e-5)
+
+
+# ---- SAM loss term (round 4: `training.loss.sam_weight`) ----
+
+
+def test_sam_loss_matches_metric_value(pair):
+    """sam_loss (radians, atan2 form) == the SAM metric (degrees, arccos
+    form) up to unit conversion."""
+    from msid_tpu.ops.metrics import calculate_sam
+    from msid_tpu.training.losses import sam_loss
+
+    clean, noisy = pair
+    got_deg = float(sam_loss(noisy, clean)) * 180.0 / np.pi
+    want_deg = float(calculate_sam(noisy, clean))
+    assert got_deg == pytest.approx(want_deg, abs=1e-3)
+
+
+def test_sam_loss_gradient_finite_at_perfect_prediction(pair):
+    """The whole point of the atan2 form: at pred == target the arccos
+    formulation has an infinite derivative; ours must be finite."""
+    import jax
+
+    from msid_tpu.training.losses import sam_loss
+
+    clean, _ = pair
+    g = jax.grad(lambda p: sam_loss(p, clean))(clean)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_sam_loss_golden_vs_torch(pair):
+    """Value AND gradient parity against a torch autograd implementation
+    of the reference SAM formula (metrics.py:124-172) at a generic
+    (non-aligned) point, where both forms are smooth."""
+    import jax
+    import torch
+
+    from msid_tpu.training.losses import sam_loss
+
+    clean, noisy = pair
+    p = torch.tensor(np.asarray(noisy), requires_grad=True, dtype=torch.float64)
+    t = torch.tensor(np.asarray(clean), dtype=torch.float64)
+    eps = 1e-8
+    dot = (p * t).sum(dim=-1)
+    pn = p.pow(2).sum(dim=-1).sqrt() + eps
+    tn = t.pow(2).sum(dim=-1).sqrt() + eps
+    angle = torch.arccos((dot / (pn * tn)).clamp(-1.0, 1.0))
+    want = angle.mean(dim=(1, 2)).mean()
+    want.backward()
+
+    got = float(sam_loss(noisy, clean))
+    assert got == pytest.approx(float(want), abs=1e-5)
+    g = jax.grad(lambda q: sam_loss(q, clean))(noisy)
+    np.testing.assert_allclose(
+        np.asarray(g), p.grad.numpy(), rtol=1e-3, atol=1e-6)
+
+
+def test_sam_weight_wired_into_combined(pair):
+    from msid_tpu.training.losses import (
+        combined_loss, combined_loss_per_sample, sam_loss,
+    )
+
+    clean, noisy = pair
+    cfg = LossConfig(mse_weight=1.0, ssim_weight=0.1, sam_weight=0.05)
+    total, aux = combined_loss(noisy, clean, cfg)
+    base, _ = combined_loss(noisy, clean, LossConfig())
+    assert float(total) == pytest.approx(
+        float(base) + 0.05 * float(sam_loss(noisy, clean)), rel=1e-6)
+    assert "sam_loss" in aux
+    # per-sample decomposition stays exact
+    ps = combined_loss_per_sample(noisy, clean, cfg)
+    assert float(np.mean(np.asarray(ps))) == pytest.approx(float(total), rel=1e-5)
+
+
+def test_sam_weight_from_config():
+    cfg = LossConfig.from_config(
+        {"training": {"loss": {"mse_weight": 1.0, "ssim_weight": 0.2,
+                               "sam_weight": 0.1}}})
+    assert cfg.sam_weight == pytest.approx(0.1)
+    assert LossConfig.from_config({}).sam_weight == 0.0
