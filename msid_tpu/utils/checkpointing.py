@@ -269,6 +269,65 @@ class CheckpointManager:
         state, metadata = self._restore(step, target)
         return state, metadata, step
 
+    def load_weights(self, target_state: Any, best: bool = True,
+                     prefer_ema: bool = True):
+        """Weights-only warm start: graft params/batch_stats from a saved
+        checkpoint into a freshly built TrainState, keeping the NEW run's
+        optimizer state, schedule position, and step counter.
+
+        This is the stage-B entry of the reference's two-stage recipe
+        (`/root/reference/README.md:193-223`: stage B trains from stage
+        A's best weights under a different freeze set and LR) — a full
+        state restore cannot cross that boundary because changed
+        ``freeze_layers`` change the optax multi_transform opt_state
+        STRUCTURE. The checkpoint is restored raw (no target), so any
+        opt-state/schedule mismatch is irrelevant.
+
+        ``prefer_ema``: when the source run kept an EMA shadow, start
+        from the shadow (its served/validated weights); the new run's own
+        shadow (if any) is re-seeded from the grafted params.
+
+        Returns ``(state, metadata, step)`` or None if no checkpoint.
+        """
+        step = self._mgr.best_step() if best else self._mgr.latest_step()
+        if step is None and best:
+            step = self._mgr.latest_step()
+        if step is None:
+            return None
+        self.wait_until_finished()
+        raw = self._mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(),
+                metadata=ocp.args.JsonRestore(),
+            ),
+        )
+        saved, metadata = raw["state"], raw["metadata"]
+        params = saved.get("params")
+        ema = saved.get("ema_params")
+        if prefer_ema and ema:
+            logger.info("load_weights: starting from the source EMA shadow")
+            params = ema
+        import jax
+
+        # dtype/placement discipline: match the target's leaves (raw
+        # restore yields host numpy; bf16-moment casts never apply here).
+        params = jax.tree.map(
+            lambda new, ref: jax.numpy.asarray(new, getattr(ref, "dtype", None)),
+            params, target_state.params)
+        batch_stats = saved.get("batch_stats", target_state.batch_stats)
+        if batch_stats and target_state.batch_stats:
+            batch_stats = jax.tree.map(
+                lambda new, ref: jax.numpy.asarray(new, getattr(ref, "dtype", None)),
+                batch_stats, target_state.batch_stats)
+        state = target_state.replace(
+            params=params,
+            batch_stats=batch_stats,
+            ema_params=(jax.tree.map(jax.numpy.copy, params)
+                        if target_state.ema_params is not None else None),
+        )
+        return state, metadata, step
+
     def all_steps(self):
         return sorted(self._mgr.all_steps())
 

@@ -24,6 +24,11 @@ def parse_args():
     p = argparse.ArgumentParser(description="Train the SatMAE multi-spectral denoiser (TPU)")
     p.add_argument("--config", type=str, default="configs/base.yaml")
     p.add_argument("--resume", action="store_true", help="resume from latest checkpoint")
+    p.add_argument("--init-from", type=str, default=None,
+                   help="weights-only warm start from another run's "
+                        "checkpoint dir (params/batch_stats grafted, fresh "
+                        "optimizer/schedule) — the stage-B entry of the "
+                        "two-stage recipe, reference README.md:193-223")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="checkpoint directory to resume/warm-start from")
     p.add_argument("--device", type=str, default=None, help="jax platform override (tpu/cpu)")
@@ -67,7 +72,17 @@ def main():
                 len(session["train_loader"]), len(session["val_loader"]))
 
     start_epoch = 0
-    if args.resume or args.checkpoint:
+    if args.init_from:
+        if args.resume or args.checkpoint:
+            raise SystemExit("--init-from is a weights-only warm start; "
+                             "it cannot be combined with --resume/--checkpoint")
+        out = CheckpointManager(args.init_from).load_weights(trainer.state)
+        if out is None:
+            raise FileNotFoundError(f"No checkpoint under {args.init_from}")
+        trainer.state, _, src_step = out
+        logger.info("Warm-started weights from %s (step %d); fresh optimizer",
+                    args.init_from, src_step)
+    elif args.resume or args.checkpoint:
         resume_mgr = session["checkpoint_manager"]
         if args.checkpoint:
             resume_mgr = CheckpointManager(args.checkpoint)

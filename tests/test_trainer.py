@@ -269,3 +269,74 @@ def test_early_stopping_triggers():
     history = trainer.fit(_loader(1), _loader(1, seed=9), epochs=10)
     # min_delta=100 dB is unreachable → stops after patience+1 epochs
     assert len(history["train_loss"]) <= 3
+
+
+def test_load_weights_crosses_freeze_structure(tmp_path):
+    """Two-stage recipe boundary (reference README.md:193-223): stage B
+    warm-starts stage A's weights under a DIFFERENT freeze set (different
+    multi_transform opt_state structure) and a fresh optimizer.
+    load_weights must graft params/batch_stats and leave the new
+    opt_state/step untouched."""
+    mgr = CheckpointManager(tmp_path, keep_top_k=2, metric="val_psnr",
+                            save_every=1)
+    # stage A: everything-frozen-but-decoder analogue (freeze block 0)
+    model = SatMAERestoration(**SMALL)
+    variables = init_model(model, jax.random.PRNGKey(0))
+    tx_a = build_optimizer(optax.constant_schedule(1e-3),
+                           freeze_layers=(0,), params=variables["params"])
+    state_a = TrainState.create(variables, tx_a)
+    trainer_a = Trainer(model, tx_a, state_a, config=CONFIG,
+                        checkpoint_manager=mgr,
+                        lr_schedule=optax.constant_schedule(1e-3))
+    trainer_a.fit(_loader(2), _loader(1, seed=9), epochs=1)
+    mgr.wait_until_finished()
+
+    # stage B: no frozen blocks -> different opt_state structure
+    variables_b = init_model(model, jax.random.PRNGKey(1))
+    tx_b = build_optimizer(optax.constant_schedule(1e-4),
+                           params=variables_b["params"])
+    state_b = TrainState.create(variables_b, tx_b)
+    out = CheckpointManager(tmp_path).load_weights(state_b)
+    assert out is not None
+    grafted, _, src_step = out
+    assert src_step == 1
+    # params came from stage A, not stage B's fresh init
+    a_leaf = np.asarray(jax.tree_util.tree_leaves(trainer_a.state.params)[0])
+    g_leaf = np.asarray(jax.tree_util.tree_leaves(grafted.params)[0])
+    b_leaf = np.asarray(jax.tree_util.tree_leaves(state_b.params)[0])
+    np.testing.assert_allclose(g_leaf, a_leaf, atol=1e-6)
+    assert not np.allclose(g_leaf, b_leaf)
+    # fresh optimizer/step
+    assert int(grafted.step) == 0
+    # and stage B trains from there under its own optimizer
+    trainer_b = Trainer(model, tx_b, grafted, config=CONFIG,
+                        lr_schedule=optax.constant_schedule(1e-4))
+    hist = trainer_b.fit(_loader(2), _loader(1, seed=9), epochs=1)
+    assert np.isfinite(hist["train_loss"]).all()
+
+
+def test_load_weights_prefers_ema(tmp_path):
+    """A source run with an EMA shadow warm-starts from the shadow (its
+    served weights), and a shadow-less target stays shadow-less."""
+    mgr = CheckpointManager(tmp_path, metric="val_psnr", save_every=1)
+    model = SatMAERestoration(**SMALL)
+    variables = init_model(model, jax.random.PRNGKey(0))
+    tx = build_optimizer(optax.constant_schedule(1e-2), params=variables["params"])
+    state = TrainState.create(variables, tx, ema=True)
+    cfg = dict(CONFIG, training={"gradient_accumulation_steps": 1,
+                                 "loss": {"ssim_weight": 0.0},
+                                 "ema_decay": 0.5})
+    trainer = Trainer(model, tx, state, config=cfg, checkpoint_manager=mgr,
+                      lr_schedule=optax.constant_schedule(1e-2))
+    trainer.fit(_loader(2), _loader(1, seed=9), epochs=1)
+    mgr.wait_until_finished()
+    ema_leaf = np.asarray(
+        jax.tree_util.tree_leaves(trainer.state.ema_params)[0])
+    live_leaf = np.asarray(jax.tree_util.tree_leaves(trainer.state.params)[0])
+    assert not np.allclose(ema_leaf, live_leaf)  # shadow lags at d=0.5
+
+    target = TrainState.create(init_model(model, jax.random.PRNGKey(2)), tx)
+    grafted, _, _ = CheckpointManager(tmp_path).load_weights(target)
+    g_leaf = np.asarray(jax.tree_util.tree_leaves(grafted.params)[0])
+    np.testing.assert_allclose(g_leaf, ema_leaf, atol=1e-6)
+    assert grafted.ema_params is None
