@@ -81,6 +81,7 @@ def main():
     model = SatMAERestoration.from_config(config, dtype=compute_dtype)
     variables = init_model(model, jax.random.PRNGKey(int(config.get("seed", 42))))
 
+    restored_step = None
     if args.checkpoint:
         from msid_tpu.training import TrainState, build_optimizer_from_config
 
@@ -91,6 +92,7 @@ def main():
         if out is None:
             raise FileNotFoundError(f"No checkpoint found under {args.checkpoint}")
         state, _, step = out
+        restored_step = int(step)
         # eval_variables = the EMA shadow when the run trained with
         # training.ema_decay > 0 (what the trainer validated with);
         # --raw-weights forces the live params for EMA-vs-live ablations.
@@ -115,9 +117,26 @@ def main():
         results["tta"] = args.tta
         logger.info("Metrics above use %d-view dihedral self-ensembling", args.tta)
 
+    # Provenance block (ADVICE r4): committed copies of this artifact
+    # (benchmarks/results/r4_eval/) must be attributable to an exact
+    # config + checkpoint step without relying on the filename.
+    import datetime
+
+    results["provenance"] = {
+        "config": args.config,
+        "checkpoint": args.checkpoint,
+        "checkpoint_step": restored_step,
+        "forward": args.forward,
+        "tta": args.tta,
+        "raw_weights": bool(args.raw_weights),
+        "date_utc": datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"),
+    }
+
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    (out_dir / "evaluation_results.json").write_text(json.dumps(results, indent=2))
+    (out_dir / "evaluation_results.json").write_text(
+        json.dumps(results, indent=2) + "\n")
 
     if args.save_visualizations:
         from msid_tpu.utils.visualization import save_restoration_triptychs
