@@ -33,7 +33,7 @@ run_train() {  # name cfg est_seconds [extra args...]
   python scripts/train.py --config "${cfg}" --synthetic \
       --output-dir "${out}" ${extra} "$@" >"${out}/train.log" 2>&1 \
     && touch "${out}/TRAIN_DONE" \
-    || { mark "train ${name} FAILED"; return 1; }
+    || { mark "train ${name} FAILED"; sleep ${SETTLE}; return 1; }
   sleep ${SETTLE}
 }
 
@@ -42,6 +42,10 @@ run_eval() {  # tag cfg ckpt est_seconds [extra args...]
   local e="outputs/r4_eval/${tag}"
   [ -f "${e}/DONE" ] && return 0
   have_time "${est}" || { mark "skip eval ${tag} (budget)"; return 1; }
+  # ADVICE r4 #1: don't burn eval startup + settle against a checkpoint
+  # that was never produced (train skipped on budget or failed).
+  [ -n "$(ls -A "${ckpt}" 2>/dev/null)" ] \
+    || { mark "skip eval ${tag} (no checkpoint at ${ckpt})"; return 1; }
   mkdir -p "${e}"
   mark "eval ${tag}"
   python scripts/evaluate.py --config "${cfg}" --synthetic \
@@ -74,10 +78,18 @@ mark "r4c phase2 complete"
 if run_train stage_a_fill configs/experiments/stage_a_skipfill.yaml 360; then
   if [ ! -f outputs/r4_stage_b_fill/TRAIN_DONE ] && have_time 420; then
     mkdir -p outputs/r4_stage_b_fill
-    mark "train stage_b_fill (init-from stage_a_fill)"
+    # ADVICE r4 #2: resume partial stage-B checkpoints instead of
+    # discarding them with a fresh --init-from graft.
+    if [ -n "$(ls -A outputs/r4_stage_b_fill/checkpoints 2>/dev/null)" ]; then
+      src_args="--resume --checkpoint outputs/r4_stage_b_fill/checkpoints"
+      mark "train stage_b_fill (resume)"
+    else
+      src_args="--init-from outputs/r4_stage_a_fill/checkpoints"
+      mark "train stage_b_fill (init-from stage_a_fill)"
+    fi
     python scripts/train.py --config configs/experiments/stage_b_skipfill.yaml \
         --synthetic --output-dir outputs/r4_stage_b_fill \
-        --init-from outputs/r4_stage_a_fill/checkpoints \
+        ${src_args} \
         >outputs/r4_stage_b_fill/train.log 2>&1 \
       && touch outputs/r4_stage_b_fill/TRAIN_DONE \
       || mark "train stage_b_fill FAILED"

@@ -66,10 +66,18 @@ mark "r4d sweep complete"
 if run_train stage_a_fill configs/experiments/stage_a_skipfill.yaml; then
   if [ ! -f outputs/r4_stage_b_fill/TRAIN_DONE ]; then
     mkdir -p outputs/r4_stage_b_fill
-    mark "train stage_b_fill (init-from stage_a_fill)"
+    # ADVICE r4 #2: resume partial stage-B checkpoints instead of
+    # discarding them with a fresh --init-from graft.
+    if [ -n "$(ls -A outputs/r4_stage_b_fill/checkpoints 2>/dev/null)" ]; then
+      src_args="--resume --checkpoint outputs/r4_stage_b_fill/checkpoints"
+      mark "train stage_b_fill (resume)"
+    else
+      src_args="--init-from outputs/r4_stage_a_fill/checkpoints"
+      mark "train stage_b_fill (init-from stage_a_fill)"
+    fi
     python scripts/train.py --config configs/experiments/stage_b_skipfill.yaml \
         --synthetic --output-dir outputs/r4_stage_b_fill \
-        --init-from outputs/r4_stage_a_fill/checkpoints \
+        ${src_args} \
         >outputs/r4_stage_b_fill/train.log 2>&1 \
       && touch outputs/r4_stage_b_fill/TRAIN_DONE \
       || mark "train stage_b_fill FAILED"
