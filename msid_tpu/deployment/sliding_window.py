@@ -213,10 +213,14 @@ def _carry_into(next_out, next_w, prev_out, prev_w, carry_rows, offset):
     return next_out, next_w
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnums=(2,))
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
 def _finalize_band(out_sum, w_sum, out_dtype):
     # Padded rows have zero weight; the guard keeps them finite (they
     # are cropped on host). ``out_dtype`` is a (hashable) np.dtype.
+    # Only ``out_sum`` is donated: the [H, W, 1] weight plane can never
+    # alias the [H, W, C] output, so donating it only triggered XLA's
+    # "donated buffers were not usable" warning (seen in the round-4
+    # bench log) without saving anything.
     return (out_sum / jnp.maximum(w_sum, 1e-12)).astype(out_dtype)
 
 
