@@ -75,7 +75,17 @@ def evaluate_model(
     noisy input (`msid_tpu.ops.tta`) before scoring. ``forward_impl``
     selects the eval graph (see `make_eval_step`): "auto" = "apply";
     "hybrid" (folded-BN) is opt-in — measured slower in-step on v5e.
+
+    ``variables`` may be a tuple/list of variable dicts: the step then
+    scores the MEAN restoration of the checkpoints (model ensembling,
+    `make_eval_step(ensemble_size=N)`); composes with ``tta``.
     """
+    ensemble_size = 1
+    if isinstance(variables, (tuple, list)):
+        ensemble_size = len(variables)
+        variables = tuple(variables)
+        if ensemble_size == 1:
+            variables = variables[0]
     eval_step = make_eval_step(
         model,
         loss_cfg or LossConfig(),
@@ -83,6 +93,7 @@ def evaluate_model(
         image_size=image_size or model.image_size,
         tta=tta,
         forward_impl=forward_impl,
+        ensemble_size=ensemble_size,
     )
     results = run_eval_loop(
         eval_step, variables, loader, jax.random.PRNGKey(eval_seed)

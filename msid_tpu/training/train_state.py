@@ -286,9 +286,16 @@ def make_eval_step(
     vgg_params: dict | None = None,
     tta: int = 1,
     forward_impl: str = "auto",
+    ensemble_size: int = 1,
 ) -> Callable:
     """Jitted eval step: corrupt deterministically (per-batch key), forward
     in eval mode, return on-device metric sums + loss sum. Never syncs.
+
+    ``ensemble_size`` > 1 scores the MEAN restoration of that many
+    checkpoints: the step's ``variables`` argument becomes a tuple of
+    that many variable dicts and the forward averages their outputs
+    (~N x FLOPs). Composes with ``tta`` (views of the averaged forward).
+    Only the "apply"/"auto" forward supports it.
 
     ``forward_impl`` selects the eval forward graph (the reference
     evaluates through the same deploy-optimized artifact it ships,
@@ -331,6 +338,11 @@ def make_eval_step(
     if forward_impl not in ("auto", "apply", "hybrid"):
         raise ValueError(
             f"forward_impl must be auto|apply|hybrid, got {forward_impl!r}")
+    if ensemble_size < 1:
+        raise ValueError(f"ensemble_size must be >= 1, got {ensemble_size}")
+    if ensemble_size > 1 and forward_impl == "hybrid":
+        raise ValueError("checkpoint ensembling supports only the "
+                         "apply/auto forward, not hybrid")
     hybrid_forward = None
     if forward_impl == "hybrid":
         from msid_tpu.deployment.fastpath import (
@@ -355,6 +367,14 @@ def make_eval_step(
         def forward(z):
             if hybrid_forward is not None:
                 return hybrid_forward(variables, z.astype(compute_dtype))
+            if ensemble_size > 1:
+                # ``variables`` is a tuple of per-checkpoint variable dicts;
+                # score the mean restoration. fp32 accumulation: N bf16
+                # outputs summed in bf16 would cost ~a bit of the very
+                # precision ensembling buys.
+                outs = [model.apply(v, z.astype(compute_dtype), train=False)
+                        .astype(jnp.float32) for v in variables]
+                return sum(outs[1:], outs[0]) / float(ensemble_size)
             return model.apply(variables, z.astype(compute_dtype), train=False)
 
         if tta > 1:

@@ -28,6 +28,13 @@ def parse_args():
     p.add_argument("--raw-weights", action="store_true",
                    help="evaluate the live params even when the checkpoint "
                         "carries an EMA shadow (EMA-vs-live ablation)")
+    p.add_argument("--ensemble", type=str, nargs="+", default=None,
+                   metavar="CKPT_DIR",
+                   help="additional checkpoint dir(s) to ensemble with "
+                        "--checkpoint: metrics score the MEAN restoration "
+                        "of all checkpoints (~N x eval FLOPs; composes "
+                        "with --tta). All checkpoints must share the "
+                        "--config architecture.")
     p.add_argument("--tta", type=int, nargs="?", const=8, default=1,
                    metavar="N",
                    help="self-ensemble over N dihedral views of each noisy "
@@ -82,24 +89,42 @@ def main():
     variables = init_model(model, jax.random.PRNGKey(int(config.get("seed", 42))))
 
     restored_step = None
+    if args.ensemble and not args.checkpoint:
+        raise SystemExit("--ensemble extends --checkpoint; pass --checkpoint too")
+    ensemble_steps = []
     if args.checkpoint:
         from msid_tpu.training import TrainState, build_optimizer_from_config
 
         tx, _ = build_optimizer_from_config(config, variables["params"])
         target = TrainState.create(variables, tx)
-        mgr = CheckpointManager(args.checkpoint)
-        out = mgr.load_best(target=target) or mgr.load_latest(target=target)
-        if out is None:
-            raise FileNotFoundError(f"No checkpoint found under {args.checkpoint}")
-        state, _, step = out
-        restored_step = int(step)
-        # eval_variables = the EMA shadow when the run trained with
-        # training.ema_decay > 0 (what the trainer validated with);
-        # --raw-weights forces the live params for EMA-vs-live ablations.
-        variables = state.variables if args.raw_weights else state.eval_variables
-        if args.raw_weights and state.ema_params is not None:
-            logger.info("--raw-weights: evaluating live params, not the EMA shadow")
-        logger.info("Restored checkpoint step %d from %s", step, args.checkpoint)
+
+        def load_eval_variables(ckpt_dir):
+            mgr = CheckpointManager(ckpt_dir)
+            out = mgr.load_best(target=target) or mgr.load_latest(target=target)
+            if out is None:
+                raise FileNotFoundError(f"No checkpoint found under {ckpt_dir}")
+            state, _, step = out
+            # eval_variables = the EMA shadow when the run trained with
+            # training.ema_decay > 0 (what the trainer validated with);
+            # --raw-weights forces the live params for EMA-vs-live ablations.
+            v = state.variables if args.raw_weights else state.eval_variables
+            if args.raw_weights and state.ema_params is not None:
+                logger.info("--raw-weights: evaluating live params, not the "
+                            "EMA shadow")
+            logger.info("Restored checkpoint step %d from %s", step, ckpt_dir)
+            return v, int(step)
+
+        variables, restored_step = load_eval_variables(args.checkpoint)
+        if args.ensemble:
+            members = [variables]
+            ensemble_steps = [restored_step]
+            for extra in args.ensemble:
+                v, s = load_eval_variables(extra)
+                members.append(v)
+                ensemble_steps.append(s)
+            variables = tuple(members)
+            logger.info("Ensembling %d checkpoints (mean restoration)",
+                        len(members))
 
     _, val_loader = get_dataloaders(config)
     from msid_tpu.ops.noise import NoiseConfig
@@ -116,6 +141,8 @@ def main():
     if args.tta > 1:
         results["tta"] = args.tta
         logger.info("Metrics above use %d-view dihedral self-ensembling", args.tta)
+    if args.ensemble:
+        results["ensemble"] = len(ensemble_steps)
 
     # Provenance block (ADVICE r4): committed copies of this artifact
     # (benchmarks/results/r4_eval/) must be attributable to an exact
@@ -126,6 +153,8 @@ def main():
         "config": args.config,
         "checkpoint": args.checkpoint,
         "checkpoint_step": restored_step,
+        "ensemble": args.ensemble,
+        "ensemble_steps": ensemble_steps or None,
         "forward": args.forward,
         "tta": args.tta,
         "raw_weights": bool(args.raw_weights),
@@ -142,7 +171,9 @@ def main():
         from msid_tpu.utils.visualization import save_restoration_triptychs
 
         save_restoration_triptychs(
-            model, variables, val_loader, out_dir / "visualizations",
+            model,
+            variables[0] if isinstance(variables, tuple) else variables,
+            val_loader, out_dir / "visualizations",
             noise_cfg=NoiseConfig.from_config(config),
             image_size=int(config["data"].get("image_size", 192)),
             num_samples=5,

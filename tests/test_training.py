@@ -370,3 +370,62 @@ def test_build_optimizer_from_config(model_and_vars):
     opt_state = tx.init(variables["params"])
     grads = jax.tree_util.tree_map(jnp.zeros_like, variables["params"])
     updates, _ = tx.update(grads, opt_state, variables["params"])
+
+
+def test_eval_step_ensemble(model_and_vars):
+    """ensemble_size=2 with two IDENTICAL members must reproduce the
+    single-checkpoint sums (to executable-level tolerance: the mean of
+    equal outputs is the identity, but the two jits are different XLA
+    programs and conv fusion choices shift bf16 numerics ~1e-5 — the
+    same cross-program variation decoder_ablation.py documents); with
+    two DIFFERENT members it must differ from both, and the step must
+    accept the tuple-of-variables calling convention."""
+    model, variables = model_and_vars
+    batch = jnp.asarray(
+        np.random.default_rng(5).uniform(0, 10000, (4, 64, 64, 13))
+        .astype(np.float32))
+    key, count = jax.random.PRNGKey(0), jnp.int32(4)
+
+    single = make_eval_step(model, LossConfig(), NoiseConfig(), image_size=64)
+    pair = make_eval_step(model, LossConfig(), NoiseConfig(), image_size=64,
+                          ensemble_size=2)
+    s1 = single(variables, batch, key, count)
+    s_same = pair((variables, variables), batch, key, count)
+    for k in ("psnr", "ssim", "sam", "rmse", "loss"):
+        assert float(s_same[k]) == pytest.approx(float(s1[k]), rel=2e-4), k
+
+    # A member with doubled params restores wildly differently; the mean
+    # restoration must land strictly between the two singles (scoring the
+    # averaged OUTPUT, not averaging the metrics) and be order-invariant.
+    other = jax.tree_util.tree_map(lambda p: p * 2.0, variables)
+    s2 = single(other, batch, key, count)
+    s_mix = pair((variables, other), batch, key, count)
+    s_mix_rev = pair((other, variables), batch, key, count)
+    assert float(s1["rmse"]) < float(s_mix["rmse"]) < float(s2["rmse"])
+    assert float(s_mix_rev["rmse"]) == float(s_mix["rmse"])
+
+
+def test_eval_step_ensemble_validation(model_and_vars):
+    model, _ = model_and_vars
+    with pytest.raises(ValueError, match="ensemble_size"):
+        make_eval_step(model, LossConfig(), NoiseConfig(), image_size=64,
+                       ensemble_size=0)
+    with pytest.raises(ValueError, match="hybrid"):
+        make_eval_step(model, LossConfig(), NoiseConfig(), image_size=64,
+                       ensemble_size=2, forward_impl="hybrid")
+
+
+def test_evaluate_model_accepts_variable_list(model_and_vars):
+    """evaluate_model's tuple/list detection: a [v, v] ensemble scores
+    the same as v alone."""
+    from msid_tpu.training.eval import evaluate_model
+
+    model, variables = model_and_vars
+    batch = np.random.default_rng(9).uniform(
+        0, 10000, (4, 64, 64, 13)).astype(np.float32)
+    loader = [batch]
+    r1 = evaluate_model(model, variables, loader, image_size=64, verbose=False)
+    r2 = evaluate_model(model, [variables, variables], loader, image_size=64,
+                        verbose=False)
+    assert r2["psnr"] == pytest.approx(r1["psnr"], rel=1e-6)
+    assert r2["num_samples"] == r1["num_samples"] == 4
