@@ -16,7 +16,11 @@ standalone subgraphs on this toolchain). Consequence: eval/validation
 
 Run: PYTHONPATH=.:$AXON_SITE python benchmarks/eval_forward_ab.py
 """
-import time, json
+import time, json, sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import numpy as np
 import jax, jax.numpy as jnp
 from msid_tpu.models import SatMAERestoration, init_model

@@ -146,6 +146,13 @@ def optimize_for_inference(
             f"fastpath supports unet_light/unet_skip, got {model.decoder_arch}")
     if model.norm != "batch":
         raise ValueError(f"fastpath supports norm='batch', got {model.norm}")
+    if getattr(model, "input_fill", False):
+        # The hand-scheduled graphs have no detect/fill/conditioning
+        # prologue; without this gate they would SILENTLY drop the fill
+        # stage (the tree simply omits fill_gram) and diverge from
+        # model.apply on exactly the dead-band tiles the stage exists for.
+        raise ValueError("fastpath does not support input_fill models — "
+                         "serve them through model.apply")
 
     params = variables["params"]
     stats = variables.get("batch_stats", {})
@@ -543,6 +550,18 @@ def optimize_for_hybrid(model, variables, dtype: Dtype = jnp.bfloat16) -> dict:
     """Weights for :func:`make_hybrid_inference_fn`: the flax encoder
     variables as-is (fp32 params, compute dtype applied by the module) and
     the folded fastpath tree for the decoder."""
+    # Same support surface as make_hybrid_forward: without this gate an
+    # input_fill model slips through to a trace-time
+    # ScopeParamNotFoundError (fill_gram) inside the encoder sub-apply —
+    # and the scene path's optimize="auto" fallback (which catches
+    # ValueError from HERE, sliding_window._make_scene_forward) never
+    # fires, crashing `msid-restore` on fill-family checkpoints.
+    if not supports_fastpath(model):
+        raise ValueError(
+            f"hybrid graph supports unet_light/unet_skip with batch norm "
+            f"and no input_fill stage, got "
+            f"{model.decoder_arch}/{model.norm}/input_fill="
+            f"{getattr(model, 'input_fill', False)}")
     # Build host-side and keep only the decoder subtree BEFORE any device
     # placement: optimize_for_inference would otherwise upload the ~85 MB
     # fused-QKV encoder tree just to discard it (multi-second on relayed

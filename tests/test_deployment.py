@@ -484,3 +484,47 @@ def test_restore_scene_output_dtype(model_and_vars):
         assert half.dtype == np.float16
         # model range ≈[-2,2]: fp16 relative error 2^-11 → atol ~2e-3
         np.testing.assert_allclose(half, full, atol=4e-3)
+
+
+def test_scene_auto_falls_back_to_apply_for_fill_models():
+    """Regression (round 5): `_make_scene_forward(optimize="auto")` on an
+    input_fill model must fall back to `model.apply` — before the
+    `optimize_for_hybrid` support gate it slipped into the hybrid graph
+    and crashed at trace time with ScopeParamNotFoundError(fill_gram),
+    which took `msid-restore` down on every fill-family checkpoint."""
+    from msid_tpu.deployment.sliding_window import restore_scene
+
+    model = SatMAERestoration(
+        image_size=64, patch_size=16, embed_dim=96, depth=2, num_heads=4,
+        decoder_channels=(48, 24, 12, 8), gradient_checkpointing=False,
+        input_fill=True, residual_output=True,
+    )
+    variables = init_model(model, jax.random.PRNGKey(0))
+    scene = np.random.default_rng(0).uniform(
+        0, 10000, (96, 96, 13)).astype(np.uint16)
+    out = restore_scene(model, variables, scene, window=64, overlap=16,
+                        model_size=64, batch_size=4, device_assembly=True)
+    assert out.shape == (96, 96, 13)
+    assert np.isfinite(out).all()
+
+
+def test_fastpath_rejects_fill_models_explicitly():
+    """optimize_for_inference/optimize_for_hybrid must raise (not silently
+    drop the fill prologue) for input_fill models."""
+    import pytest as _pytest
+
+    from msid_tpu.deployment.fastpath import (
+        optimize_for_hybrid,
+        optimize_for_inference,
+    )
+
+    model = SatMAERestoration(
+        image_size=64, patch_size=16, embed_dim=96, depth=2, num_heads=4,
+        decoder_channels=(48, 24, 12, 8), gradient_checkpointing=False,
+        input_fill=True,
+    )
+    variables = init_model(model, jax.random.PRNGKey(0))
+    with _pytest.raises(ValueError, match="input_fill"):
+        optimize_for_inference(model, variables)
+    with _pytest.raises(ValueError, match="input_fill"):
+        optimize_for_hybrid(model, variables)
